@@ -1,0 +1,66 @@
+"""Device mesh + sharding setup.
+
+The reference has no model-level parallelism (host process pools only,
+`srcs/preprocessing/dataset_balancer.py:137-162`). Here data parallelism is
+first-class: one `jax.sharding.Mesh` with a `data` axis for batch sharding and
+an optional `model` axis kept available for tensor-parallel experiments with
+the deeper backbone. All collectives are inserted by XLA from sharding
+annotations — there is no hand-written communication on the training path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    """Declarative mesh shape; `model=1` means pure data parallelism."""
+
+    data: int = -1   # -1: use all remaining devices
+    model: int = 1
+
+    def resolve(self, n_devices: int) -> "MeshSpec":
+        model = max(1, self.model)
+        data = self.data if self.data > 0 else n_devices // model
+        if data * model != n_devices:
+            raise ValueError(
+                f"mesh {data}x{model} does not cover {n_devices} devices"
+            )
+        return MeshSpec(data=data, model=model)
+
+
+def make_mesh(
+    spec: MeshSpec | None = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    spec = (spec or MeshSpec()).resolve(len(devices))
+    dev_array = np.asarray(devices).reshape(spec.data, spec.model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) dim over `data`, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device_put a host batch pytree with the batch axis sharded on `data`."""
+
+    def _put(x):
+        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+
+    return jax.tree_util.tree_map(_put, tree)

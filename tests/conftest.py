@@ -1,0 +1,59 @@
+"""Test configuration.
+
+Tests run on the CPU backend with 8 virtual devices so that mesh/sharding
+paths (pjit over a `data` axis) are exercised without TPU hardware — the
+standard JAX recipe (`--xla_force_host_platform_device_count`). Must be set
+before jax initializes its backends, hence module scope here.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_dataset(tmp_path_factory):
+    """Synthetic root/PLANT/CLASS tree with small JPEGs (leaf-like blobs)."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("dataset")
+    rng = np.random.default_rng(42)
+    spec = {
+        "Apple": {"healthy": 12, "rust": 7, "scab": 5},
+        "Grape": {"healthy": 9, "spot": 4},
+    }
+    for plant, classes in spec.items():
+        for cls, n in classes.items():
+            d = root / plant / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                img = _leafish_image(rng, 64)
+                Image.fromarray(img).save(d / f"image ({i}).JPG", quality=95)
+    return root
+
+
+def _leafish_image(rng, size):
+    """Green blob on light background — enough structure for mask tests."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    cy, cx = size / 2 + rng.normal(0, 3), size / 2 + rng.normal(0, 3)
+    ry, rx = size * 0.32 + rng.normal(0, 2), size * 0.38 + rng.normal(0, 2)
+    blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1.0
+    img = np.full((size, size, 3), 235, np.uint8)
+    img[..., 0][blob] = 40 + (rng.random() * 40)
+    img[..., 1][blob] = 120 + (rng.random() * 80)
+    img[..., 2][blob] = 30 + (rng.random() * 40)
+    noise = rng.normal(0, 4, img.shape)
+    return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)

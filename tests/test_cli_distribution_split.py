@@ -1,0 +1,54 @@
+"""End-to-end CLI tests for distribution + split on a synthetic tree."""
+
+import csv
+import json
+
+from leaffliction_tpu.cli import distribution as dist_cli
+from leaffliction_tpu.cli import split as split_cli
+
+
+def test_distribution_cli(tiny_dataset, tmp_path, monkeypatch):
+    out = tmp_path / "plots"
+    dist_cli.main([str(tiny_dataset), "--out-dir", str(out)])
+    csv_path = out / "distribution.csv"
+    assert csv_path.exists()
+    with csv_path.open() as f:
+        rows = list(csv.DictReader(f))
+    assert rows[0].keys() == {"plant", "class", "count"}
+    counts = {(r["plant"], r["class"]): int(r["count"]) for r in rows}
+    assert counts[("Apple", "healthy")] == 12
+    assert counts[("Grape", "spot")] == 4
+    assert (out / "Apple_bar.png").exists()
+    assert (out / "Grape_pie.png").exists()
+
+    # merge semantics: re-run over a subset keeps other rows intact
+    dist_cli.main([str(tiny_dataset), "--plants", "Apple",
+                   "--out-dir", str(out), "--no-plots"])
+    with csv_path.open() as f:
+        rows2 = list(csv.DictReader(f))
+    assert len(rows2) == len(rows)
+
+
+def test_split_cli(tiny_dataset, tmp_path):
+    out = tmp_path / "datasets"
+    split_cli.main(["--src", str(tiny_dataset), "--out", str(out),
+                    "--val-ratio", "0.2", "--seed", "32"])
+    manifest = json.loads((out / "manifest_split.json").read_text())
+    assert manifest["meta"]["seed"] == 32
+    assert len(manifest["items"]) == 37
+    splits = {it["split"] for it in manifest["items"]}
+    assert splits == {"train", "val"}
+
+    with (out / "split_summary.csv").open() as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["label", "n_train", "n_val", "total"]
+    assert rows[-1][0] == "_TOTAL_"
+    total = int(rows[-1][3])
+    assert total == 37
+    # determinism: second run produces identical item assignments
+    out2 = tmp_path / "datasets2"
+    split_cli.main(["--src", str(tiny_dataset), "--out", str(out2),
+                    "--val-ratio", "0.2", "--seed", "32"])
+    m2 = json.loads((out2 / "manifest_split.json").read_text())
+    assert [i["split"] for i in m2["items"]] == \
+        [i["split"] for i in manifest["items"]]
