@@ -1,0 +1,194 @@
+"""`leaffliction-train` — train LeafCNN on TPU from a split manifest.
+
+Flag parity with the reference CLI (`srcs/cli/train.py:53-117`): --manifest
+(with augmented→split fallback), --epochs/--batch-size/--img-size/--seed,
+--no-normalization, --fast, --scale/--tiny/--small/--base, --separable,
+--target-val-acc. `--no-mixed-precision` disables bfloat16 compute (the TPU
+analog of the reference's mixed_float16). Artifacts land in artifacts/models/
+with the reference schema.
+
+TPU additions: --mesh-data/--mesh-model to shape the device mesh (data
+parallel by default over all visible chips), --resume for orbax mid-run
+checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from leaffliction_tpu.core.logging import get_logger, setup_logging
+from leaffliction_tpu.core.sysinfo import get_system_info
+from leaffliction_tpu.data.loader import BatchIterator, ImageStore, sample_batch
+from leaffliction_tpu.data.manifest import (
+    build_label_mapping,
+    load_manifest,
+    select_items,
+)
+from leaffliction_tpu.models.leafcnn import SCALE_PRESETS, build_leafcnn
+from leaffliction_tpu.train.config import TrainConfig
+
+LOGGER = get_logger(__name__)
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        description="Train LeafCNN (JAX/TPU) using manifest_split.json"
+    )
+    p.add_argument("--manifest", type=Path,
+                   default=Path("artifacts/datasets/manifest_augmented.json"))
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no-normalization", action="store_true")
+    p.add_argument("--no-mixed-precision", action="store_true",
+                   help="Disable bfloat16 compute (TPU mixed precision)")
+    p.add_argument("--fast", action="store_true")
+    p.add_argument("--scale", choices=["tiny", "small", "base"], default="base")
+    mx = p.add_mutually_exclusive_group()
+    mx.add_argument("--tiny", action="store_true")
+    mx.add_argument("--small", action="store_true")
+    mx.add_argument("--base", action="store_true")
+    p.add_argument("--separable", action="store_true")
+    p.add_argument("--target-val-acc", type=float, default=None)
+    p.add_argument("--out-dir", type=Path, default=Path("artifacts/models"))
+    p.add_argument("--mesh-data", type=int, default=-1,
+                   help="Devices on the data-parallel mesh axis (-1: all)")
+    p.add_argument("--mesh-model", type=int, default=1)
+    args = p.parse_args(argv)
+    for name in ("tiny", "small", "base"):
+        if getattr(args, name, False):
+            args.scale = name
+    return args
+
+
+def validate_manifest(manifest: Path) -> Path:
+    """Augmented→split fallback (`srcs/cli/train.py:120-148`)."""
+    if manifest.exists():
+        return manifest
+    if manifest.name == "manifest_augmented.json":
+        fallback = manifest.with_name("manifest_split.json")
+        if fallback.exists():
+            LOGGER.warning("Augmented manifest not found, falling back to: %s",
+                           fallback)
+            return fallback
+    raise FileNotFoundError(f"Manifest not found: {manifest}")
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    setup_logging()
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    try:
+        manifest_path = validate_manifest(args.manifest)
+    except FileNotFoundError as exc:
+        LOGGER.error("Training failed: %s", exc)
+        return
+
+    _, items = load_manifest(manifest_path)
+    train_items = select_items(items, "train")
+    val_items = select_items(items, "val")
+    if not train_items or not val_items:
+        LOGGER.error("Insufficient data (train=%d, val=%d)",
+                     len(train_items), len(val_items))
+        return
+    label2idx = build_label_mapping(train_items)
+    num_classes = len(label2idx)
+    LOGGER.info("Classes: %d", num_classes)
+
+    # Heavy imports after validation so --help stays fast
+    import jax
+    import jax.numpy as jnp
+
+    from leaffliction_tpu.ops.image import compute_norm_stats
+    from leaffliction_tpu.parallel.mesh import MeshSpec, make_mesh
+    from leaffliction_tpu.train.artifacts import save_training_artifacts
+    from leaffliction_tpu.train.steps import build_step_fns, create_train_state
+    from leaffliction_tpu.train.trainer import evaluate, fit
+
+    cfg = TrainConfig.fast() if args.fast else TrainConfig.regularized()
+    LOGGER.info("Mode: %s -> %s", "FAST" if args.fast else "REGULARIZED",
+                cfg.as_dict())
+
+    t_load = time.perf_counter()
+    train_store = ImageStore(train_items, label2idx, args.img_size)
+    val_store = ImageStore(val_items, label2idx, args.img_size)
+    LOGGER.info("Decoded %d train + %d val images in %.1fs",
+                len(train_store), len(val_store),
+                time.perf_counter() - t_load)
+
+    train_iter = BatchIterator(train_store, args.batch_size, shuffle=True,
+                               seed=args.seed)
+    val_iter = BatchIterator(val_store, args.batch_size, shuffle=False)
+
+    dtype = jnp.float32 if args.no_mixed_precision else jnp.bfloat16
+    model = build_leafcnn(
+        num_classes=num_classes, scale=args.scale, separable=args.separable,
+        use_norm=not args.no_normalization, dtype=dtype,
+    )
+
+    mesh = make_mesh(MeshSpec(data=args.mesh_data, model=args.mesh_model))
+    LOGGER.info("Mesh: %s over %d %s device(s)", dict(mesh.shape),
+                mesh.size, jax.devices()[0].device_kind)
+
+    total_steps = train_iter.steps_per_epoch() * args.epochs
+    step_fns = build_step_fns(model, cfg, num_classes, total_steps, mesh)
+    state = create_train_state(model, cfg, args.img_size, args.seed)
+
+    # adaptive normalization on ≤2048 train samples (`srcs/model/cnn.py:107-131`)
+    if not args.no_normalization:
+        sample = sample_batch(train_store, 2048)
+        mean, var = compute_norm_stats(jnp.asarray(sample))
+        state = state.replace(norm_stats={"mean": mean, "var": var})
+        LOGGER.info("Adapted normalization: mean=%s", np.asarray(mean))
+
+    preset = SCALE_PRESETS[args.scale]
+    meta = {
+        "run": {"seed": args.seed, "epochs": args.epochs,
+                "batch_size": args.batch_size},
+        "data": {"manifest": str(manifest_path.resolve()),
+                 "img_size": args.img_size, "num_classes": num_classes,
+                 "train_items": len(train_items),
+                 "val_items": len(val_items)},
+        "model": {"name": "leaf_cnn", "scale": args.scale,
+                  "separable": bool(args.separable),
+                  "use_normalization": not args.no_normalization,
+                  "widths": list(preset["widths"]),
+                  "drop_block": preset["drop_block"],
+                  "drop_top": preset["drop_top"],
+                  "l2": cfg.weight_decay},
+        "training": {"optimizer": cfg.optimizer, "base_lr": cfg.lr,
+                     "cosine_decay": bool(cfg.cosine_decay),
+                     "label_smoothing": cfg.label_smoothing,
+                     "ema_decay": cfg.ema_decay, "clipnorm": cfg.clipnorm,
+                     "mixed_precision": not args.no_mixed_precision},
+        "system": dict(get_system_info(),
+                       mesh={"data": int(mesh.shape["data"]),
+                             "model": int(mesh.shape["model"])}),
+    }
+
+    result = fit(step_fns, state, train_iter, val_iter, cfg,
+                 epochs=args.epochs, seed=args.seed,
+                 target_val_acc=args.target_val_acc)
+    LOGGER.info("Training done: %d steps in %.1fs (%.1f images/sec), "
+                "val_acc=%.4f (%s)", result.steps_ran, result.train_time_s,
+                result.images_per_sec, result.val_accuracy,
+                result.best_variant)
+
+    _, _, y_true, y_pred = evaluate(step_fns, result.state, val_iter)
+    save_training_artifacts(
+        args.out_dir, result.state, label2idx, result.history,
+        result.best_variant, y_true, y_pred, meta=meta,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Host-side input pipeline: decode once, cache, stream uint8 batches.
+
+TPU-native redesign of the reference's `ManifestSequence`
+(`srcs/dataio/sequence.py:16-176`), which re-decodes + LANCZOS-resizes +
+float-converts every image on every epoch in per-batch Python. Here:
+
+- each image is decoded + resized ONCE into a pinned uint8 cache (RAM is
+  plentiful; the cache is the entire dataset at img_size — e.g. 8k images at
+  224px ≈ 1.2 GB);
+- per epoch, batches are fancy-indexed out of the cache (cheap) and shipped
+  to device as uint8 (4x less PCIe/ICI traffic than float32); the /255 and
+  augmentation happen inside the jitted train step;
+- the final partial batch is padded to the static batch size with a validity
+  mask — XLA never sees a dynamic shape;
+- decode uses a small thread pool (PIL releases the GIL during JPEG decode;
+  a native libjpeg decoder can be swapped in via `decode_fn`).
+
+Shuffling is seeded per epoch (reference `sequence.py:98-114` semantics:
+deterministic under a fixed seed, reshuffled each epoch).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Callable, Iterator, List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+from leaffliction_tpu.core.logging import get_logger
+from leaffliction_tpu.data.manifest import ManifestItem
+
+LOGGER = get_logger(__name__)
+
+
+def decode_resize_pil(path: str, img_size: int) -> np.ndarray:
+    """PIL decode → RGB → LANCZOS resize → uint8 HWC.
+
+    Matches reference preprocessing (`sequence.py:74-88`: RGB-ensure +
+    LANCZOS). `Image.draft` lets libjpeg do cheap DCT-domain downscaling
+    before the final LANCZOS pass when the source is much larger.
+    """
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im.draft("RGB", (img_size * 2, img_size * 2))
+        im = im.convert("RGB")
+        if im.size != (img_size, img_size):
+            im = im.resize((img_size, img_size), Image.LANCZOS)
+        return np.asarray(im, np.uint8)
+
+
+class Batch(NamedTuple):
+    images: np.ndarray   # [B, S, S, 3] uint8
+    labels: np.ndarray   # [B] int32
+    mask: np.ndarray     # [B] float32, 0 for padding
+    indices: np.ndarray  # [B] int32 index into the item list (-1 for padding)
+
+
+class ImageStore:
+    """Decoded-image cache for a list of manifest items at a fixed size."""
+
+    def __init__(
+        self,
+        items: Sequence[ManifestItem],
+        label2idx: dict,
+        img_size: int,
+        decode_fn: Callable[[str, int], np.ndarray] = decode_resize_pil,
+        workers: int = 4,
+    ) -> None:
+        self.items = list(items)
+        self.img_size = img_size
+        self.labels = np.asarray(
+            [label2idx[it.label] for it in self.items], np.int32
+        )
+        n = len(self.items)
+        self.images = np.zeros((n, img_size, img_size, 3), np.uint8)
+        self.valid = np.zeros((n,), bool)
+
+        def _load(i: int) -> None:
+            try:
+                self.images[i] = decode_fn(self.items[i].src, img_size)
+                self.valid[i] = True
+            except Exception as exc:  # skip unreadable, like predictor.py:102
+                LOGGER.warning("Skipping unreadable image %s (%s)",
+                               self.items[i].src, exc)
+
+        if workers > 1 and n > 1:
+            with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(_load, range(n)))
+        else:
+            for i in range(n):
+                _load(i)
+        n_bad = int(n - self.valid.sum())
+        if n_bad:
+            LOGGER.warning("%d/%d images failed to decode", n_bad, n)
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    @property
+    def valid_indices(self) -> np.ndarray:
+        return np.nonzero(self.valid)[0].astype(np.int32)
+
+
+class BatchIterator:
+    """Static-shape batch stream over an ImageStore."""
+
+    def __init__(
+        self,
+        store: ImageStore,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+        drop_remainder: bool = False,
+    ) -> None:
+        self.store = store
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.store.valid_indices)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Batch]:
+        idx = self.store.valid_indices.copy()
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch_idx)
+            rng.shuffle(idx)
+        bs = self.batch_size
+        n_full = len(idx) // bs
+        end = n_full * bs
+        for s in range(0, end, bs):
+            sel = idx[s:s + bs]
+            yield Batch(
+                images=self.store.images[sel],
+                labels=self.store.labels[sel],
+                mask=np.ones((bs,), np.float32),
+                indices=sel,
+            )
+        if not self.drop_remainder and end < len(idx):
+            sel = idx[end:]
+            pad = bs - len(sel)
+            sel_pad = np.concatenate([sel, np.zeros((pad,), np.int32)])
+            mask = np.concatenate(
+                [np.ones((len(sel),), np.float32), np.zeros((pad,), np.float32)]
+            )
+            yield Batch(
+                images=self.store.images[sel_pad],
+                labels=self.store.labels[sel_pad],
+                mask=mask,
+                indices=np.concatenate(
+                    [sel, np.full((pad,), -1, np.int32)]
+                ),
+            )
+
+
+def sample_batch(store: ImageStore, n: int, seed: int = 0) -> np.ndarray:
+    """Up to `n` images for normalization adaptation
+    (reference `adapt_normalization`, `srcs/model/cnn.py:107-131`)."""
+    idx = store.valid_indices[:n]
+    return store.images[idx]

@@ -1,0 +1,176 @@
+"""LeafCNN — Flax port-equivalent of the reference architecture, TPU-first.
+
+Capability parity with `srcs/model/cnn.py:9-131`: conv stem, per-width stages
+of [residual block (2×conv3x3-BN-ReLU + SE ratio 8 + 1x1 projection shortcut)
+→ spatial dropout → maxpool], GAP → dropout → Dense head; optional
+depthwise-separable convs and adaptive input normalization; scale presets
+tiny/small/base (`srcs/cli/train.py:266-280`).
+
+TPU-first deltas (intentional, documented):
+- the model returns **logits**; softmax lives in the loss / predict path
+  (numerically better than the reference's softmax-activation Dense);
+- train-time augmentation is NOT a model layer — it is a fused batched op in
+  the train step (`ops/train_augment.py`), keeping the model pure;
+- normalization stats are explicit variables (`norm_stats` collection), not a
+  stateful Keras layer; adaptation is one jitted reduction over a sample
+  batch (`ops/image.py:compute_norm_stats`);
+- compute dtype is configurable (bfloat16 on TPU), params stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+SCALE_PRESETS: Dict[str, Dict[str, Any]] = {
+    # widths, drop_block, drop_top — `srcs/cli/train.py:266-280`
+    "tiny": {"widths": (16, 32, 64), "drop_block": 0.10, "drop_top": 0.30},
+    "small": {"widths": (32, 64, 128), "drop_block": 0.15, "drop_top": 0.35},
+    "base": {"widths": (32, 64, 128, 256), "drop_block": 0.15, "drop_top": 0.40},
+}
+
+
+class SEBlock(nn.Module):
+    """Squeeze-and-Excitation (`srcs/model/cnn.py:9-18`), ratio 8."""
+
+    se_ratio: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        channels = x.shape[-1]
+        se = jnp.mean(x, axis=(1, 2), keepdims=True)
+        se = nn.Conv(max(channels // self.se_ratio, 1), (1, 1),
+                     dtype=self.dtype)(se)
+        se = nn.relu(se)
+        se = nn.Conv(channels, (1, 1), dtype=self.dtype)(se)
+        se = nn.sigmoid(se)
+        return x * se
+
+
+class ConvBlock(nn.Module):
+    """conv3x3(no bias) → BN → ReLU (`srcs/model/cnn.py:21-35`)."""
+
+    features: int
+    separable: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        if self.separable:
+            x = nn.Conv(x.shape[-1], (3, 3), padding="SAME", use_bias=False,
+                        feature_group_count=x.shape[-1], dtype=self.dtype)(x)
+            x = nn.Conv(self.features, (1, 1), use_bias=False,
+                        dtype=self.dtype)(x)
+        else:
+            x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class ResBlock(nn.Module):
+    """Residual block w/ optional SE + projection shortcut
+    (`srcs/model/cnn.py:38-49`)."""
+
+    features: int
+    separable: bool = False
+    use_se: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        shortcut = x
+        y = ConvBlock(self.features, self.separable, self.dtype)(x, train)
+        y = ConvBlock(self.features, self.separable, self.dtype)(y, train)
+        if self.use_se:
+            y = SEBlock(dtype=self.dtype)(y)
+        if shortcut.shape[-1] != self.features:
+            shortcut = nn.Conv(self.features, (1, 1), padding="SAME",
+                               use_bias=False, dtype=self.dtype)(shortcut)
+            shortcut = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.99, epsilon=1e-3,
+                                    dtype=self.dtype)(shortcut)
+        return nn.relu(shortcut + y)
+
+
+class LeafCNN(nn.Module):
+    """Full classifier. Input: N×H×W×3 float [0,1]. Output: logits N×K."""
+
+    num_classes: int
+    widths: Sequence[int] = (32, 64, 128)
+    drop_block: float = 0.15
+    drop_top: float = 0.40
+    separable: bool = False
+    use_se: bool = True
+    use_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        if self.use_norm:
+            # Adapted stats live in the 'norm_stats' collection; identity
+            # until `adapt` overwrites them (mean 0 / var 1).
+            mean = self.variable("norm_stats", "mean",
+                                 lambda: jnp.zeros((3,), jnp.float32))
+            var = self.variable("norm_stats", "var",
+                                lambda: jnp.ones((3,), jnp.float32))
+            x = (x - mean.value) * jax.lax.rsqrt(var.value + 1e-7)
+        x = x.astype(self.dtype)
+
+        x = ConvBlock(self.widths[0], self.separable, self.dtype)(x, train)
+        for features in self.widths:
+            x = ResBlock(features, self.separable, self.use_se,
+                         self.dtype)(x, train)
+            if self.drop_block > 0:
+                # SpatialDropout2D: drop whole channels
+                x = nn.Dropout(self.drop_block,
+                               broadcast_dims=(1, 2),
+                               deterministic=not train)(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = jnp.mean(x, axis=(1, 2))
+        if self.drop_top > 0:
+            x = nn.Dropout(self.drop_top, deterministic=not train)(x)
+        x = x.astype(jnp.float32)
+        return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
+
+
+def build_leafcnn(
+    num_classes: int,
+    scale: str = "base",
+    separable: bool = False,
+    use_norm: bool = True,
+    dtype: Any = jnp.float32,
+) -> LeafCNN:
+    preset = SCALE_PRESETS[scale]
+    return LeafCNN(
+        num_classes=num_classes,
+        widths=tuple(preset["widths"]),
+        drop_block=preset["drop_block"],
+        drop_top=preset["drop_top"],
+        separable=separable,
+        use_norm=use_norm,
+        dtype=dtype,
+    )
+
+
+def init_model(
+    model: LeafCNN, img_size: int, seed: int = 0
+) -> Tuple[Dict, Dict, Dict]:
+    """Initialize → (params, batch_stats, norm_stats)."""
+    variables = model.init(
+        jax.random.key(seed),
+        jnp.zeros((1, img_size, img_size, 3), jnp.float32),
+        train=False,
+    )
+    return (
+        variables["params"],
+        variables.get("batch_stats", {}),
+        variables.get("norm_stats", {}),
+    )

@@ -1,0 +1,130 @@
+"""Binary morphology via reduce_window min/max pooling — fully fused on TPU.
+
+Replaces cv2 erode/dilate/open/close call sites
+(`srcs/transform/filters/mask.py:53-69`, `srcs/utils/mask_utils.py:118-181`).
+Masks are bool (or {0,1}) HW arrays; structuring elements are square
+(`ksize`×`ksize`, cv2 MORPH_RECT) or the cv2 MORPH_ELLIPSE equivalent.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _ellipse_kernel(ksize: int) -> np.ndarray:
+    """cv2.getStructuringElement(MORPH_ELLIPSE, (k,k)) — exact row-wise
+    rasterization from OpenCV's getStructuringElement."""
+    r = c = ksize // 2
+    inv_r2 = 1.0 / (r * r) if r else 0.0
+    kern = np.zeros((ksize, ksize), bool)
+    for i in range(ksize):
+        dy = i - r
+        if abs(dy) > r:
+            continue
+        dx = int(round(c * np.sqrt((r * r - dy * dy) * inv_r2)))
+        j1 = max(c - dx, 0)
+        j2 = min(c + dx + 1, ksize)
+        kern[i, j1:j2] = True
+    return kern
+
+
+def _window_reduce(mask: Array, ksize: int, op: str, shape: str) -> Array:
+    x = mask.astype(jnp.bool_)
+    pad = ksize // 2
+    if shape == "rect":
+        if op == "max":
+            return jax.lax.reduce_window(
+                x, False, jax.lax.bitwise_or, (ksize, ksize), (1, 1),
+                [(pad, ksize - 1 - pad)] * 2,
+            )
+        return jax.lax.reduce_window(
+            x, True, jax.lax.bitwise_and, (ksize, ksize), (1, 1),
+            [(pad, ksize - 1 - pad)] * 2,
+        )
+    # ellipse: shift-and-combine over kernel offsets (static unroll)
+    kern = _ellipse_kernel(ksize)
+    init = jnp.zeros_like(x) if op == "max" else jnp.ones_like(x)
+    if op == "max":
+        padded = jnp.pad(x, pad, constant_values=False)
+    else:
+        padded = jnp.pad(x, pad, constant_values=True)
+    out = init
+    h, w = x.shape[-2], x.shape[-1]
+    for dy in range(ksize):
+        for dx in range(ksize):
+            if not kern[dy, dx]:
+                continue
+            shifted = jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_slice_in_dim(padded, dy, h, axis=-2),
+                dx, w, axis=-1,
+            )
+            out = (out | shifted) if op == "max" else (out & shifted)
+    return out
+
+
+@partial(jax.jit, static_argnames=("ksize", "shape"))
+def dilate(mask: Array, ksize: int = 3, shape: str = "rect") -> Array:
+    return _window_reduce(mask, ksize, "max", shape)
+
+
+@partial(jax.jit, static_argnames=("ksize", "shape"))
+def erode(mask: Array, ksize: int = 3, shape: str = "rect") -> Array:
+    return _window_reduce(mask, ksize, "min", shape)
+
+
+@partial(jax.jit, static_argnames=("ksize", "shape", "iterations"))
+def opening(mask: Array, ksize: int = 3, shape: str = "rect",
+            iterations: int = 1) -> Array:
+    x = mask
+    for _ in range(iterations):
+        x = erode(x, ksize, shape)
+    for _ in range(iterations):
+        x = dilate(x, ksize, shape)
+    return x
+
+
+@partial(jax.jit, static_argnames=("ksize", "shape", "iterations"))
+def closing(mask: Array, ksize: int = 3, shape: str = "rect",
+            iterations: int = 1) -> Array:
+    x = mask
+    for _ in range(iterations):
+        x = dilate(x, ksize, shape)
+    for _ in range(iterations):
+        x = erode(x, ksize, shape)
+    return x
+
+
+def fill_holes(mask: Array, max_iters: int | None = None) -> Array:
+    """Fill enclosed background regions (PlantCV `fill_holes` /
+    `srcs/transform/filters/mask.py:53-69` flood-fill equivalent).
+
+    Background connected to the border is found by iterative dilation
+    (lax.while_loop with early exit on convergence); everything else that is
+    not foreground is a hole.
+    """
+    m = mask.astype(jnp.bool_)
+    h, w = m.shape[-2], m.shape[-1]
+    border = jnp.zeros_like(m).at[..., 0, :].set(True).at[..., -1, :].set(True)
+    border = border.at[..., :, 0].set(True).at[..., :, -1].set(True)
+    seed = border & ~m
+    limit = max_iters if max_iters is not None else (h + w)
+
+    def cond(carry):
+        prev, cur, i = carry
+        return (i < limit) & jnp.any(prev != cur)
+
+    def body(carry):
+        _, cur, i = carry
+        grown = dilate(cur, 3) & ~m
+        return cur, grown, i + 1
+
+    first = dilate(seed, 3) & ~m
+    _, bg, _ = jax.lax.while_loop(cond, body, (seed, first, jnp.zeros((), jnp.int32)))
+    holes = ~m & ~bg
+    return m | holes

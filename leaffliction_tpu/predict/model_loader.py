@@ -1,0 +1,73 @@
+"""Load a trained LeafCNN from the artifacts directory.
+
+Equivalent of the reference `ModelLoader` (`srcs/predict/model_loader.py:12-59`):
+reads `meta.json` for labels/img_size/num_classes and loads the checkpoint the
+meta points at (`model_file`) — here a flax msgpack written by
+`train/checkpoint.py`, with the architecture rebuilt from meta's "model" block.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+
+from leaffliction_tpu.core.logging import get_logger
+from leaffliction_tpu.models.leafcnn import LeafCNN
+from leaffliction_tpu.train.checkpoint import load_model_msgpack
+
+LOGGER = get_logger(__name__)
+
+
+class ModelLoader:
+    def __init__(self, learnings_dir: Path) -> None:
+        self.learnings_dir = Path(learnings_dir)
+        self.meta: Dict[str, Any] = {}
+        self.model: Optional[LeafCNN] = None
+        self.variables: Dict[str, Any] = {}
+
+    def load(self) -> "ModelLoader":
+        meta_path = self.learnings_dir / "meta.json"
+        if not meta_path.exists():
+            raise FileNotFoundError(f"Meta file not found: {meta_path}")
+        self.meta = json.loads(meta_path.read_text())
+
+        model_file = Path(self.meta["model_file"])
+        if not model_file.is_absolute() and not model_file.exists():
+            model_file = self.learnings_dir / model_file.name
+        mcfg = self.meta.get("model", {})
+        use_bf16 = self.meta.get("training", {}).get("mixed_precision", True)
+        self.model = LeafCNN(
+            num_classes=self.num_classes,
+            widths=tuple(mcfg.get("widths", (32, 64, 128, 256))),
+            drop_block=mcfg.get("drop_block", 0.15),
+            drop_top=mcfg.get("drop_top", 0.40),
+            separable=bool(mcfg.get("separable", False)),
+            use_norm=bool(mcfg.get("use_normalization", True)),
+            dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
+        )
+        restored = load_model_msgpack(model_file)
+        self.variables = {
+            "params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {}),
+            "norm_stats": restored.get("norm_stats", {}),
+        }
+        LOGGER.info("Model loaded from %s (%d classes)", model_file,
+                    self.num_classes)
+        return self
+
+    @property
+    def labels(self) -> List[str]:
+        return list(self.meta.get("labels", []))
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.labels) or int(
+            self.meta.get("data", {}).get("num_classes", 0)
+        )
+
+    @property
+    def img_size(self) -> int:
+        return int(self.meta.get("data", {}).get("img_size", 224))

@@ -1,0 +1,157 @@
+"""Single/batch prediction — the TPU serving path.
+
+Capability parity with the reference `Predictor`
+(`srcs/predict/predictor.py:15-147`) and `ImageProcessor`
+(`srcs/predict/image_processor.py:18-177`), redesigned:
+
+- inference runs as ONE jitted program (normalize + forward + softmax) at a
+  fixed serving batch size — padded, never recompiled per request;
+- the visualization mask is an in-process on-device call
+  (`segment.make_mask`) instead of the reference's subprocess hop that
+  parses a child process's stdout (`image_processor.py:82-134`);
+- batch preprocessing decodes on a thread pool and stacks uint8; /255 happens
+  on device.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from leaffliction_tpu.core.logging import get_logger
+from leaffliction_tpu.data.loader import decode_resize_pil
+from leaffliction_tpu.predict.model_loader import ModelLoader
+
+LOGGER = get_logger(__name__)
+
+SERVING_BATCH = 64
+
+
+class Predictor:
+    def __init__(self, learnings_dir: Path | str) -> None:
+        self.learnings_dir = Path(learnings_dir)
+        self.model_loader = ModelLoader(self.learnings_dir)
+        self._infer = None
+
+    def load(self) -> "Predictor":
+        import jax
+        import jax.numpy as jnp
+
+        self.model_loader.load()
+        model = self.model_loader.model
+        variables = self.model_loader.variables
+
+        @jax.jit
+        def infer(images_u8):
+            x = images_u8.astype(jnp.float32) / 255.0
+            logits = model.apply(variables, x, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._infer = infer
+        return self
+
+    # --- core batched forward ---------------------------------------------
+
+    def _probs_for_arrays(self, arrays: np.ndarray) -> np.ndarray:
+        """uint8 [N,S,S,3] → probabilities [N,K]; pads to SERVING_BATCH."""
+        import jax
+
+        n = arrays.shape[0]
+        out = []
+        for start in range(0, n, SERVING_BATCH):
+            chunk = arrays[start:start + SERVING_BATCH]
+            pad = SERVING_BATCH - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            probs = np.asarray(jax.device_get(self._infer(chunk)))
+            out.append(probs[:SERVING_BATCH - pad if pad else SERVING_BATCH])
+        return np.concatenate(out) if out else np.zeros((0, 0))
+
+    def _decode_many(self, paths: Sequence[Path]) -> tuple[np.ndarray, list]:
+        size = self.model_loader.img_size
+        n = len(paths)
+        arrays = np.zeros((n, size, size, 3), np.uint8)
+        ok: List[bool] = [False] * n
+
+        def _load(i: int) -> None:
+            try:
+                arrays[i] = decode_resize_pil(str(paths[i]), size)
+                ok[i] = True
+            except Exception as exc:
+                LOGGER.warning("Failed to process %s: %s", paths[i], exc)
+
+        with cf.ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(_load, range(n)))
+        return arrays, ok
+
+    # --- public API --------------------------------------------------------
+
+    def predict_single(
+        self, image_path: Path | str, use_transform: bool = False
+    ) -> Dict[str, Any]:
+        """→ dict(image_path, top_prediction, confidence, all_probabilities,
+        original_array, processed_array) — reference result schema
+        (`predictor.py:34-80`)."""
+        image_path = Path(image_path)
+        size = self.model_loader.img_size
+        arr = decode_resize_pil(str(image_path), size)
+        probs = self._probs_for_arrays(arr[None])[0]
+        labels = self.model_loader.labels
+        top = int(np.argmax(probs))
+
+        processed = arr
+        if use_transform:
+            processed = self.generate_mask_visualization(arr)
+
+        return {
+            "image_path": image_path,
+            "top_prediction": labels[top],
+            "confidence": float(probs[top]),
+            "all_probabilities": {
+                lab: float(p) for lab, p in zip(labels, probs)
+            },
+            "original_array": arr,
+            "processed_array": processed,
+        }
+
+    def predict_batch(
+        self, image_paths: Sequence[Path | str]
+    ) -> List[Dict[str, Any]]:
+        """Batched prediction over many files (`predictor.py:82-147`):
+        unreadable images are skipped with a warning."""
+        paths = [Path(p) for p in image_paths]
+        arrays, ok = self._decode_many(paths)
+        keep = [i for i, good in enumerate(ok) if good]
+        if not keep:
+            return []
+        probs = self._probs_for_arrays(arrays[keep])
+        labels = self.model_loader.labels
+        results: List[Dict[str, Any]] = []
+        for j, i in enumerate(keep):
+            p = probs[j]
+            top = int(np.argmax(p))
+            results.append({
+                "image_path": paths[i],
+                "top_prediction": labels[top],
+                "confidence": float(p[top]),
+                "all_probabilities": {
+                    lab: float(v) for lab, v in zip(labels, p)
+                },
+            })
+        return results
+
+    def generate_mask_visualization(self, arr: np.ndarray) -> np.ndarray:
+        """Leaf mask over white background for display — in-process on-device
+        (replaces the subprocess hop at `image_processor.py:82-134`)."""
+        from leaffliction_tpu.segment.mask import apply_mask_white, make_mask_single
+        import jax.numpy as jnp
+
+        mask, _ = make_mask_single(jnp.asarray(arr))
+        out = apply_mask_white(jnp.asarray(arr), mask)
+        return np.asarray(out).astype(np.uint8)

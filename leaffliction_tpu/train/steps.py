@@ -1,0 +1,241 @@
+"""Jitted train/eval steps — the TPU hot loop.
+
+Replaces Keras `model.fit` internals (`srcs/cli/train.py:432-437`) with a
+single fused XLA program per step: uint8 batch → float → in-graph
+augmentation → forward (bf16 compute) → loss → backward → AdamW/Adam update →
+EMA update, all on device. The EMA that the reference computes with a
+per-batch host-side `get_weights()` copy (`srcs/train/utils.py:38-57` — its
+worst hot-loop pathology) is here one fused tree-multiply inside the step.
+
+Sharding: steps are `jax.jit`-compiled with NamedShardings over a Mesh —
+batch sharded on the `data` axis, state replicated. XLA inserts the gradient
+all-reduce (and global BatchNorm statistics) automatically from the sharding
+annotations; the same code runs single-chip or on a v5e-8 slice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from leaffliction_tpu.models.leafcnn import LeafCNN
+from leaffliction_tpu.ops.train_augment import train_augment
+from leaffliction_tpu.train.config import TrainConfig
+
+Array = jax.Array
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params: Any
+    batch_stats: Any
+    norm_stats: Any
+    opt_state: Any
+    ema_params: Any          # EMA over params + batch_stats, like the
+    ema_batch_stats: Any     # reference's full-weight EMA (`train/utils.py:44-57`)
+    lr_scale: Array          # ReduceLROnPlateau multiplier (host-updated)
+
+
+@dataclasses.dataclass(frozen=True)
+class StepFns:
+    """Compiled step functions + their sharding plan."""
+
+    train_step: Callable
+    eval_step: Callable
+    eval_step_ema: Callable
+    mesh: Mesh
+
+    def shard_batch(self, tree):
+        sharding = NamedSharding(self.mesh, P("data"))
+
+        def _put(x):
+            spec = P(*(("data",) + (None,) * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        del sharding
+        return jax.tree_util.tree_map(_put, tree)
+
+
+def make_lr_schedule(cfg: TrainConfig, total_steps: int) -> Callable[[Array], Array]:
+    """Cosine decay to 0 over total_steps (Keras CosineDecay alpha=0,
+    `srcs/cli/train.py:312-318`), or constant."""
+    if cfg.cosine_decay:
+        def schedule(step: Array) -> Array:
+            frac = jnp.clip(step.astype(jnp.float32) / max(total_steps, 1), 0.0, 1.0)
+            return cfg.lr * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        return schedule
+    return lambda step: jnp.asarray(cfg.lr, jnp.float32)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam(W) minus the final LR scaling — LR is applied inside the step so
+    the plateau multiplier stays a dynamic scalar (no recompilation)."""
+    parts = []
+    if cfg.clipnorm > 0:
+        parts.append(optax.clip_by_global_norm(cfg.clipnorm))
+    parts.append(optax.scale_by_adam())
+    if cfg.optimizer == "adamw" and cfg.weight_decay > 0:
+        parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    return optax.chain(*parts)
+
+
+def create_train_state(
+    model: LeafCNN, cfg: TrainConfig, img_size: int, seed: int
+) -> TrainState:
+    variables = model.init(
+        jax.random.key(seed),
+        jnp.zeros((1, img_size, img_size, 3), jnp.float32),
+        train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    norm_stats = variables.get("norm_stats", {})
+    tx = make_optimizer(cfg)
+    # EMA trees must be distinct buffers: the train step donates its input
+    # state, and aliased leaves would be donated twice.
+    copy = partial(jax.tree_util.tree_map, jnp.copy)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        norm_stats=norm_stats,
+        opt_state=tx.init(params),
+        ema_params=copy(params),
+        ema_batch_stats=copy(batch_stats),
+        lr_scale=jnp.ones((), jnp.float32),
+    )
+
+
+def _loss_fn(logits: Array, labels: Array, mask: Array,
+             num_classes: int, label_smoothing: float) -> Tuple[Array, Array]:
+    """Masked mean CE (+ optional smoothing) and correct-count."""
+    if label_smoothing > 0:
+        targets = optax.smooth_labels(
+            jax.nn.one_hot(labels, num_classes), label_smoothing
+        )
+        per_ex = optax.softmax_cross_entropy(logits, targets)
+    else:
+        per_ex = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    loss = jnp.sum(per_ex * mask) / denom
+    correct = jnp.sum((jnp.argmax(logits, -1) == labels) * mask)
+    return loss, correct
+
+
+def build_step_fns(
+    model: LeafCNN,
+    cfg: TrainConfig,
+    num_classes: int,
+    total_steps: int,
+    mesh: Mesh,
+    augment: bool = True,
+) -> StepFns:
+    schedule = make_lr_schedule(cfg, total_steps)
+    tx = make_optimizer(cfg)
+
+    def train_step(state: TrainState, images: Array, labels: Array,
+                   mask: Array, key: Array):
+        x = images.astype(jnp.float32) / 255.0
+        if augment:
+            k_aug, k_drop = jax.random.split(jax.random.fold_in(key, 0))
+            x = train_augment(k_aug, x)
+        else:
+            k_drop = key
+
+        def loss_fn(params):
+            outs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats,
+                 "norm_stats": state.norm_stats},
+                x, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": k_drop},
+            )
+            loss, correct = _loss_fn(outs, labels, mask, num_classes,
+                                     cfg.label_smoothing)
+            return loss, (correct, mutated["batch_stats"])
+
+        (loss, (correct, new_batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        lr = schedule(state.step) * state.lr_scale
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p - lr * u, state.params, updates
+        )
+
+        if cfg.ema_decay > 0:
+            d = cfg.ema_decay
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1 - d) * p, state.ema_params, new_params
+            )
+            ema_bs = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1 - d) * p,
+                state.ema_batch_stats, new_batch_stats,
+            )
+        else:
+            ema_params = state.ema_params
+            ema_bs = state.ema_batch_stats
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+            ema_params=ema_params,
+            ema_batch_stats=ema_bs,
+        )
+        metrics = {"loss": loss, "correct": correct, "n": jnp.sum(mask),
+                   "lr": lr}
+        return new_state, metrics
+
+    def _eval(params, batch_stats, state, images, labels, mask):
+        x = images.astype(jnp.float32) / 255.0
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats,
+             "norm_stats": state.norm_stats},
+            x, train=False,
+        )
+        loss, correct = _loss_fn(logits, labels, mask, num_classes,
+                                 cfg.label_smoothing)
+        preds = jnp.argmax(logits, -1)
+        return {"loss_sum": loss * jnp.maximum(jnp.sum(mask), 1.0),
+                "correct": correct, "n": jnp.sum(mask)}, preds
+
+    def eval_step(state: TrainState, images, labels, mask):
+        return _eval(state.params, state.batch_stats, state,
+                     images, labels, mask)
+
+    def eval_step_ema(state: TrainState, images, labels, mask):
+        return _eval(state.ema_params, state.ema_batch_stats, state,
+                     images, labels, mask)
+
+    repl = NamedSharding(mesh, P())
+    data4 = NamedSharding(mesh, P("data", None, None, None))
+    data1 = NamedSharding(mesh, P("data"))
+
+    train_jit = jax.jit(
+        train_step,
+        in_shardings=(repl, data4, data1, data1, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    eval_jit = jax.jit(
+        eval_step,
+        in_shardings=(repl, data4, data1, data1),
+        out_shardings=(repl, data1),
+    )
+    eval_ema_jit = jax.jit(
+        eval_step_ema,
+        in_shardings=(repl, data4, data1, data1),
+        out_shardings=(repl, data1),
+    )
+    return StepFns(train_step=train_jit, eval_step=eval_jit,
+                   eval_step_ema=eval_ema_jit, mesh=mesh)

@@ -1,0 +1,194 @@
+"""Training loop with the reference's callback semantics, on-device steps.
+
+Reproduces the behavioral contract of Keras `model.fit` + callbacks used by
+the reference (`srcs/train/utils.py:60-72`, `srcs/cli/train.py:389-447`):
+
+- history dict with keys loss/accuracy/val_loss/val_accuracy per epoch;
+- ReduceLROnPlateau(monitor=val_loss, patience=3, factor=0.3) — implemented
+  as a dynamic `lr_scale` scalar inside the jitted step (no recompilation);
+- EarlyStopping(monitor=val_loss, patience=6, restore_best_weights=True);
+- optional stop when val_accuracy ≥ target (`srcs/cli/train.py:411-430`);
+- post-loop base-vs-EMA evaluation, winner selection
+  (`srcs/train/utils.py:84-93`).
+
+The loop itself is host-side control only; every FLOP runs inside the two
+jitted step functions from `train/steps.py`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from leaffliction_tpu.core.logging import get_logger
+from leaffliction_tpu.data.loader import BatchIterator
+from leaffliction_tpu.train.config import TrainConfig
+from leaffliction_tpu.train.steps import StepFns, TrainState
+
+LOGGER = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    history: Dict[str, List[float]]
+    best_variant: str          # "base" | "ema"
+    val_accuracy: float        # of the saved variant
+    epochs_ran: int
+    steps_ran: int
+    train_time_s: float
+    images_per_sec: float
+
+
+def evaluate(
+    step_fns: StepFns,
+    state: TrainState,
+    val_iter: BatchIterator,
+    use_ema: bool = False,
+) -> Tuple[float, float, np.ndarray, np.ndarray]:
+    """→ (loss, accuracy, y_true, y_pred) over the full (masked) val set."""
+    eval_fn = step_fns.eval_step_ema if use_ema else step_fns.eval_step
+    loss_sum = 0.0
+    correct = 0.0
+    n = 0.0
+    ys, ps = [], []
+    for batch in val_iter.epoch(0):
+        metrics, preds = eval_fn(state, batch.images, batch.labels, batch.mask)
+        metrics = jax.device_get(metrics)
+        preds = np.asarray(jax.device_get(preds))
+        loss_sum += float(metrics["loss_sum"])
+        correct += float(metrics["correct"])
+        n += float(metrics["n"])
+        keep = batch.mask > 0
+        ys.append(batch.labels[keep])
+        ps.append(preds[keep])
+    n = max(n, 1.0)
+    y_true = np.concatenate(ys) if ys else np.zeros((0,), np.int32)
+    y_pred = np.concatenate(ps) if ps else np.zeros((0,), np.int32)
+    return loss_sum / n, correct / n, y_true, y_pred
+
+
+def fit(
+    step_fns: StepFns,
+    state: TrainState,
+    train_iter: BatchIterator,
+    val_iter: BatchIterator,
+    cfg: TrainConfig,
+    epochs: int,
+    seed: int,
+    target_val_acc: Optional[float] = None,
+    log_every: int = 50,
+) -> FitResult:
+    root_key = jax.random.key(seed)
+    history: Dict[str, List[float]] = {
+        "loss": [], "accuracy": [], "val_loss": [], "val_accuracy": [],
+    }
+
+    # Snapshots must copy: the jitted train step donates the state buffers,
+    # so holding the originals across steps would be use-after-donate.
+    def _snapshot(st: TrainState):
+        copy = lambda t: jax.tree_util.tree_map(jax.numpy.copy, t)  # noqa: E731
+        return (copy(st.params), copy(st.batch_stats))
+
+    best_val_loss = float("inf")
+    best_params = _snapshot(state)
+    plateau_wait = 0
+    early_wait = 0
+    lr_scale = 1.0
+    steps_ran = 0
+    images_seen = 0.0
+    epochs_ran = 0
+    t0 = time.perf_counter()
+
+    for epoch in range(epochs):
+        epochs_ran = epoch + 1
+        ep_loss = 0.0
+        ep_correct = 0.0
+        ep_n = 0.0
+        for i, batch in enumerate(train_iter.epoch(epoch)):
+            key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
+            state, metrics = step_fns.train_step(
+                state, batch.images, batch.labels, batch.mask, key
+            )
+            steps_ran += 1
+            metrics = jax.device_get(metrics)
+            bn = float(metrics["n"])
+            ep_loss += float(metrics["loss"]) * bn
+            ep_correct += float(metrics["correct"])
+            ep_n += bn
+            images_seen += bn
+            if log_every and steps_ran % log_every == 0:
+                LOGGER.info("step %d: loss=%.4f lr=%.2e", steps_ran,
+                            float(metrics["loss"]), float(metrics["lr"]))
+
+        val_loss, val_acc, _, _ = evaluate(step_fns, state, val_iter)
+        ep_n = max(ep_n, 1.0)
+        history["loss"].append(ep_loss / ep_n)
+        history["accuracy"].append(ep_correct / ep_n)
+        history["val_loss"].append(val_loss)
+        history["val_accuracy"].append(val_acc)
+        LOGGER.info(
+            "epoch %d/%d: loss=%.4f acc=%.4f val_loss=%.4f val_acc=%.4f",
+            epoch + 1, epochs, history["loss"][-1], history["accuracy"][-1],
+            val_loss, val_acc,
+        )
+
+        # EarlyStopping bookkeeping (min_delta=0, like Keras defaults)
+        if val_loss < best_val_loss:
+            best_val_loss = val_loss
+            best_params = _snapshot(state)
+            early_wait = 0
+            plateau_wait = 0
+        else:
+            early_wait += 1
+            plateau_wait += 1
+
+        if plateau_wait >= cfg.plateau_patience:
+            lr_scale *= cfg.plateau_factor
+            state = state.replace(
+                lr_scale=jax.numpy.asarray(lr_scale, jax.numpy.float32))
+            plateau_wait = 0
+            LOGGER.info("ReduceLROnPlateau: lr_scale -> %.4g", lr_scale)
+
+        if target_val_acc is not None and val_acc >= target_val_acc:
+            LOGGER.info("Target val_accuracy reached: %.4f >= %.4f; stopping",
+                        val_acc, target_val_acc)
+            break
+
+        if early_wait >= cfg.early_stop_patience:
+            LOGGER.info("EarlyStopping: restoring best weights "
+                        "(val_loss=%.4f)", best_val_loss)
+            state = state.replace(params=best_params[0],
+                                  batch_stats=best_params[1])
+            break
+
+    train_time = time.perf_counter() - t0
+
+    # base-vs-EMA winner selection (`srcs/train/utils.py:84-93`)
+    _, base_acc, _, _ = evaluate(step_fns, state, val_iter, use_ema=False)
+    best_variant = "base"
+    best_acc = base_acc
+    if cfg.ema_decay > 0:
+        _, ema_acc, _, _ = evaluate(step_fns, state, val_iter, use_ema=True)
+        if float(ema_acc) > float(base_acc):
+            best_variant = "ema"
+            best_acc = ema_acc
+            state = state.replace(params=state.ema_params,
+                                  batch_stats=state.ema_batch_stats)
+        LOGGER.info("Variant selection: base=%.4f ema=%.4f -> %s",
+                    base_acc, ema_acc, best_variant)
+
+    return FitResult(
+        state=state,
+        history=history,
+        best_variant=best_variant,
+        val_accuracy=float(best_acc),
+        epochs_ran=epochs_ran,
+        steps_ran=steps_ran,
+        train_time_s=train_time,
+        images_per_sec=images_seen / max(train_time, 1e-9),
+    )
