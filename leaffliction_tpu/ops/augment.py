@@ -1,0 +1,202 @@
+"""The six dataset-balancing augmentation ops as batched on-device kernels.
+
+TPU-native rebuild of `ImageAugmenter` (`srcs/preprocessing/image_augmenter.py:12-133`),
+which runs one PIL decode→transform→encode per *process-pool task*. Here each
+op is a jitted, vmapped batch kernel over uint8 NHWC tensors with one
+`jax.random` key per image (counter-based `fold_in` per task id preserves the
+reference's per-task seeding semantics, `dataset_balancer.py:127`).
+
+Semantics per op (reference lines):
+- flip (:20-31): horizontal/vertical coin flip;
+- rotate (:33-42): U(-30°,30°), `expand=True` white fill — batched into the
+  static max-expansion canvas; the host crops to each image's exact
+  PIL-expanded size (`pil_expanded_size`);
+- skew (:44-71): PIL PERSPECTIVE with coeffs [1+s,0,-s·w, 0,1+s,-s·h, 0,0],
+  s ∈ U(0.05,0.15), black fill;
+- shear (:73-94): PIL AFFINE [1,s,0,0,1,0] or [1,0,0,s,1,0] (origin-anchored),
+  s ∈ U(-0.2,0.2), coin-flip direction, black fill;
+- crop (:96-114): ratio U(0.8,0.95), uniform corner, resize back (bilinear
+  here vs LANCZOS — tolerance-level parity);
+- distortion (:116-133): additive N(0,5) noise + autocontrast with
+  cutoff U(0,2)%. (The reference's uint8 cast of signed noise wraps negatives
+  to 250+; we implement the evident intent — clipped additive noise — and
+  document the delta.)
+
+Interpolation is bilinear (PIL uses BICUBIC for skew/shear); golden tests
+compare within tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from leaffliction_tpu.ops.geometry import affine_matrix, homography_warp, rotation_matrix
+from leaffliction_tpu.ops.photometric import autocontrast
+
+Array = jax.Array
+
+AUG_OPS = ("flip", "rotate", "skew", "shear", "crop", "distortion")
+
+MAX_ROTATE_DEG = 30.0
+
+
+def rotate_canvas_hw(h: int, w: int) -> Tuple[int, int]:
+    """Static canvas covering any rotation up to ±30° with expand=True."""
+    c = math.cos(math.radians(MAX_ROTATE_DEG))
+    s = math.sin(math.radians(MAX_ROTATE_DEG))
+    return (math.ceil(h * c + w * s), math.ceil(w * c + h * s))
+
+
+def pil_expanded_size(angle_deg: float, w: int, h: int) -> Tuple[int, int]:
+    """Exact PIL rotate(expand=True) output size — replicates
+    PIL.Image.rotate's matrix build (center translation included before
+    ceil/floor, cos/sin rounded to 15 decimals) so sizes match to the pixel."""
+    angle = -math.radians(angle_deg % 360.0)
+    m = [
+        round(math.cos(angle), 15), round(math.sin(angle), 15), 0.0,
+        round(-math.sin(angle), 15), round(math.cos(angle), 15), 0.0,
+    ]
+
+    def transform(x: float, y: float) -> Tuple[float, float]:
+        return m[0] * x + m[1] * y + m[2], m[3] * x + m[4] * y + m[5]
+
+    cx, cy = w / 2.0, h / 2.0
+    m[2], m[5] = transform(-cx, -cy)
+    m[2] += cx
+    m[5] += cy
+    xx, yy = [], []
+    for x, y in ((0, 0), (w, 0), (w, h), (0, h)):
+        tx, ty = transform(x, y)
+        xx.append(tx)
+        yy.append(ty)
+    nw = math.ceil(max(xx)) - math.floor(min(xx))
+    nh = math.ceil(max(yy)) - math.floor(min(yy))
+    return nw, nh
+
+
+# --- per-image kernels (vmapped below) ------------------------------------
+
+
+def _flip_one(key: Array, img: Array) -> Array:
+    horizontal = jax.random.bernoulli(key)
+    return jnp.where(horizontal, img[:, ::-1, :], img[::-1, :, :])
+
+
+def _rotate_one(key: Array, img: Array, canvas: Tuple[int, int]) -> Tuple[Array, Array]:
+    angle = jax.random.uniform(key, (), jnp.float32,
+                               -MAX_ROTATE_DEG, MAX_ROTATE_DEG)
+    h, w = img.shape[0], img.shape[1]
+    mat = rotation_matrix(angle, (h, w), out_hw=canvas)
+    out = homography_warp(img, mat, canvas, fill=255.0)
+    return out, angle
+
+
+def _skew_one(key: Array, img: Array) -> Array:
+    h, w = img.shape[0], img.shape[1]
+    s = jax.random.uniform(key, (), jnp.float32, 0.05, 0.15)
+    mat = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    mat = mat.at[0, 0].set(1.0 + s).at[0, 2].set(-s * w)
+    mat = mat.at[1, 1].set(1.0 + s).at[1, 2].set(-s * h)
+    return homography_warp(img, mat, (h, w), fill=0.0)
+
+
+def _shear_one(key: Array, img: Array) -> Array:
+    k_dir, k_s = jax.random.split(key)
+    h, w = img.shape[0], img.shape[1]
+    s = jax.random.uniform(k_s, (), jnp.float32, -0.2, 0.2)
+    horizontal = jax.random.bernoulli(k_dir)
+    zero = jnp.zeros(())
+    one = jnp.ones(())
+    mat_h = jnp.stack([jnp.stack([one, s, zero]),
+                       jnp.stack([zero, one, zero]),
+                       jnp.stack([zero, zero, one])])
+    mat_v = jnp.stack([jnp.stack([one, zero, zero]),
+                       jnp.stack([s, one, zero]),
+                       jnp.stack([zero, zero, one])])
+    mat = jnp.where(horizontal, mat_h, mat_v)
+    return homography_warp(img, mat, (h, w), fill=0.0)
+
+
+def _crop_one(key: Array, img: Array) -> Array:
+    k_ratio, k_left, k_top = jax.random.split(key, 3)
+    h, w = img.shape[0], img.shape[1]
+    ratio = jax.random.uniform(k_ratio, (), jnp.float32, 0.8, 0.95)
+    new_w = jnp.floor(w * ratio)
+    new_h = jnp.floor(h * ratio)
+    left = jnp.floor(jax.random.uniform(k_left, ()) * (w - new_w + 1.0))
+    top = jnp.floor(jax.random.uniform(k_top, ()) * (h - new_h + 1.0))
+    # PIL resize pixel-center mapping: src = (dst + 0.5) * scale - 0.5 + origin
+    ax = new_w / w
+    ay = new_h / h
+    cx = left + 0.5 * ax - 0.5
+    cy = top + 0.5 * ay - 0.5
+    zero = jnp.zeros(())
+    one = jnp.ones(())
+    mat = jnp.stack([jnp.stack([ax, zero, cx]),
+                     jnp.stack([zero, ay, cy]),
+                     jnp.stack([zero, zero, one])])
+    return homography_warp(img, mat, (h, w), fill=None)
+
+
+def _distortion_one(key: Array, img: Array) -> Array:
+    k_noise, k_cut = jax.random.split(key)
+    x = img.astype(jnp.float32)
+    x = jnp.clip(x + 5.0 * jax.random.normal(k_noise, x.shape), 0.0, 255.0)
+    cutoff = jax.random.uniform(k_cut, (), jnp.float32, 0.0, 2.0)
+    return autocontrast(x, cutoff)
+
+
+# --- batched entry points ---------------------------------------------------
+
+
+def _to_u8(x: Array) -> Array:
+    return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+
+
+@jax.jit
+def flip_batch(keys: Array, imgs: Array) -> Array:
+    return jax.vmap(_flip_one)(keys, imgs)
+
+
+@jax.jit
+def rotate_batch(keys: Array, imgs: Array) -> Tuple[Array, Array]:
+    """→ (canvas-size batch, angles). Host crops with `pil_expanded_size`."""
+    h, w = imgs.shape[1], imgs.shape[2]
+    canvas = rotate_canvas_hw(h, w)
+    out, angles = jax.vmap(lambda k, x: _rotate_one(k, x, canvas))(keys, imgs)
+    return _to_u8(out), angles
+
+
+@jax.jit
+def skew_batch(keys: Array, imgs: Array) -> Array:
+    return _to_u8(jax.vmap(_skew_one)(keys, imgs))
+
+
+@jax.jit
+def shear_batch(keys: Array, imgs: Array) -> Array:
+    return _to_u8(jax.vmap(_shear_one)(keys, imgs))
+
+
+@jax.jit
+def crop_batch(keys: Array, imgs: Array) -> Array:
+    return _to_u8(jax.vmap(_crop_one)(keys, imgs))
+
+
+@jax.jit
+def distortion_batch(keys: Array, imgs: Array) -> Array:
+    return _to_u8(jax.vmap(_distortion_one)(keys, imgs))
+
+
+BATCH_KERNELS = {
+    "flip": flip_batch,
+    "rotate": rotate_batch,
+    "skew": skew_batch,
+    "shear": shear_batch,
+    "crop": crop_batch,
+    "distortion": distortion_batch,
+}

@@ -1,0 +1,154 @@
+"""Augmentation kernel + balancer CLI tests.
+
+Golden where deterministic (autocontrast vs PIL, PIL-expand geometry);
+property-based for the stochastic kernels (determinism under fixed keys,
+shape/range contracts) per SURVEY §4.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image, ImageOps
+
+import jax
+import jax.numpy as jnp
+
+from leaffliction_tpu.data.balancer import calculate_plan
+from leaffliction_tpu.ops.augment import (
+    AUG_OPS,
+    BATCH_KERNELS,
+    pil_expanded_size,
+    rotate_canvas_hw,
+)
+from leaffliction_tpu.ops.photometric import autocontrast
+
+
+@pytest.fixture(scope="module")
+def imgs(rng):
+    yy, xx = np.mgrid[0:48, 0:48].astype(np.float32)
+    batch = []
+    for i in range(4):
+        img = np.stack([(xx * (i + 2)) % 255, (yy * 3) % 255,
+                        ((xx + yy) * 2) % 255], -1)
+        batch.append(img.astype(np.uint8))
+    return np.stack(batch)
+
+
+def keys_for(n, seed=0):
+    return jax.random.split(jax.random.key(seed), n)
+
+
+def test_flip_is_exact_transpose(imgs):
+    keys = keys_for(4)
+    out = np.asarray(BATCH_KERNELS["flip"](keys, imgs))
+    for i in range(4):
+        assert (np.array_equal(out[i], imgs[i][:, ::-1, :])
+                or np.array_equal(out[i], imgs[i][::-1, :, :]))
+
+
+def test_all_ops_deterministic_under_key(imgs):
+    for op in AUG_OPS:
+        keys = keys_for(4, seed=3)
+        a = BATCH_KERNELS[op](keys, imgs)
+        b = BATCH_KERNELS[op](keys, imgs)
+        a = a[0] if isinstance(a, tuple) else a
+        b = b[0] if isinstance(b, tuple) else b
+        assert np.array_equal(np.asarray(a), np.asarray(b)), op
+        keys2 = keys_for(4, seed=4)
+        c = BATCH_KERNELS[op](keys2, imgs)
+        c = c[0] if isinstance(c, tuple) else c
+        assert not np.array_equal(np.asarray(a), np.asarray(c)), op
+
+
+def test_rotate_canvas_and_pil_expand(imgs):
+    keys = keys_for(4)
+    out, angles = BATCH_KERNELS["rotate"](keys, imgs)
+    ch, cw = rotate_canvas_hw(48, 48)
+    assert out.shape == (4, ch, cw, 3)
+    for a in np.asarray(angles):
+        assert -30.0 <= a <= 30.0
+        ew, eh = pil_expanded_size(float(a), 48, 48)
+        ref = Image.fromarray(imgs[0]).rotate(float(a), expand=True)
+        assert (ref.size[0], ref.size[1]) == (ew, eh)
+        assert ew <= cw and eh <= ch
+
+
+def test_skew_shear_crop_shapes_and_content(imgs):
+    for op in ("skew", "shear", "crop"):
+        out = np.asarray(BATCH_KERNELS[op](keys_for(4, 7), imgs))
+        assert out.shape == imgs.shape, op
+        assert out.dtype == np.uint8
+        # content must actually change
+        assert np.abs(out.astype(int) - imgs.astype(int)).mean() > 1.0, op
+
+
+def test_distortion_adds_noise_and_stretches(imgs):
+    out = np.asarray(BATCH_KERNELS["distortion"](keys_for(4, 9), imgs))
+    assert out.shape == imgs.shape
+    diff = np.abs(out.astype(np.float32) - imgs.astype(np.float32))
+    assert diff.mean() > 1.0
+    # structure preserved: strong correlation with the source
+    corr = np.corrcoef(out.reshape(-1).astype(np.float32),
+                       imgs.reshape(-1).astype(np.float32))[0, 1]
+    assert corr > 0.8
+
+
+def test_autocontrast_matches_pil():
+    rng = np.random.default_rng(2)
+    img = np.clip(rng.normal(128, 30, (32, 32, 3)), 40, 210).astype(np.uint8)
+    for cutoff in (0.0, 1.0, 2.0):
+        ref = np.asarray(ImageOps.autocontrast(Image.fromarray(img),
+                                               cutoff=cutoff))
+        ours = np.asarray(autocontrast(jnp.asarray(img).astype(jnp.float32),
+                                       cutoff))
+        assert np.abs(ours - ref.astype(np.float32)).max() <= 2.0, cutoff
+
+
+def test_calculate_plan_matches_reference_semantics():
+    counts = {"Apple": {"healthy": 10, "rust": 3, "scab": 10},
+              "Grape": {"spot": 5}}
+    plan = calculate_plan(counts)
+    assert set(plan) == {"rust"}
+    assert sum(plan["rust"].values()) == 7
+    # 7 = 6*1 + 1 → base 1 each, remainder to first transform
+    assert plan["rust"]["flip"] == 2
+    assert plan["rust"]["distortion"] == 1
+
+
+def test_augment_cli_single_image(tiny_dataset, tmp_path):
+    from leaffliction_tpu.cli import augment as aug_cli
+
+    img = next((tiny_dataset / "Apple" / "rust").glob("*.JPG"))
+    out = tmp_path / "example"
+    aug_cli.main([str(img), "--output", str(out), "--seed", "42"])
+    files = sorted(p.name for p in out.iterdir())
+    assert f"original_{img.name}" in files
+    for t in AUG_OPS:
+        assert f"{t}_{img.name}" in files
+    assert len(files) == 7
+
+
+def test_augment_cli_dataset_balances(tiny_dataset, tmp_path, monkeypatch):
+    from leaffliction_tpu.cli import augment as aug_cli
+    from leaffliction_tpu.data.scan import count_by_plant_class, scan_dataset
+
+    monkeypatch.chdir(tmp_path)  # artifacts/ lands in tmp
+    target = tmp_path / "balanced"
+    aug_cli.main([str(tiny_dataset), "--output", str(target), "--seed", "42"])
+
+    counts = count_by_plant_class(scan_dataset(target))
+    # per-plant balance: every class matches the plant max
+    assert counts["Apple"] == {"healthy": 12, "rust": 12, "scab": 12}
+    assert counts["Grape"] == {"healthy": 9, "spot": 9}
+
+    manifest = json.loads(
+        (tmp_path / "artifacts/datasets/manifest_augmented.json").read_text())
+    meta = manifest["meta"]
+    assert meta["total_images"] == 12 * 3 + 9 * 2
+    assert meta["augmented_images"] == (12 - 7) + (12 - 5) + (9 - 4)
+    assert meta["original_images"] == 37
+    aug_items = [i for i in manifest["items"] if i["augmented"]]
+    assert all("_aug_" in Path(i["src"]).stem for i in aug_items)
+    assert (tmp_path / "artifacts/distribution/balanced_distribution.csv").exists()
