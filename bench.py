@@ -1,0 +1,143 @@
+"""Benchmark: augmented images/sec/chip at 224px (BASELINE.json north-star).
+
+Times the fused on-device augmentation kernels (all six ops per round) on one
+chip against the PIL per-image pipeline the reference uses
+(`srcs/preprocessing/image_augmenter.py` semantics) on this host.
+
+Measurement design for a tunneled TPU: host↔device I/O rides a relay
+(~70 MB/s, ~140 ms sync RTT), so the kernel loop runs entirely on device —
+the batch is generated on device, R rounds of all six ops run inside one
+jitted `lax.scan`, and only a float32 checksum crosses back. One dispatch,
+one scalar: the relay contributes one RTT, amortized over thousands of
+images.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+IMG = 224
+DEVICE_BATCH = 128
+ROUNDS = 20         # scan length; 20 * 6 ops * 128 imgs = 15,360 images/call
+PIL_SAMPLES = 36    # PIL baseline images (slow; measured then extrapolated)
+
+
+def bench_device() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from leaffliction_tpu.core.cache import enable_compilation_cache
+    from leaffliction_tpu.ops.augment import (
+        crop_batch,
+        distortion_batch,
+        flip_batch,
+        rotate_batch,
+        shear_batch,
+        skew_batch,
+    )
+
+    enable_compilation_cache()
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:IMG, 0:IMG].astype(np.float32)
+    base = np.stack([xx % 251, yy % 241, (xx + yy) % 253], -1)
+    images = (base[None] + rng.normal(0, 8, (DEVICE_BATCH, IMG, IMG, 3))
+              ).clip(0, 255).astype(np.uint8)
+
+    @jax.jit
+    def fused_rounds(imgs, seed):
+        """R rounds × 6 ops inside ONE program (lax.scan) → one dispatch,
+        one scalar out. Relay RTT is paid once, not per kernel call."""
+        base_key = jax.random.wrap_key_data(seed)
+
+        def round_fn(acc, i):
+            keys = jax.random.split(jax.random.fold_in(base_key, i),
+                                    DEVICE_BATCH)
+            outs = [
+                flip_batch(keys, imgs),
+                rotate_batch(keys, imgs)[0],
+                skew_batch(keys, imgs),
+                shear_batch(keys, imgs),
+                crop_batch(keys, imgs),
+                distortion_batch(keys, imgs),
+            ]
+            for out in outs:
+                acc = acc + jnp.sum(out[:, ::64, ::64, :]
+                                    .astype(jnp.float32))
+            return acc, None
+
+        acc, _ = jax.lax.scan(round_fn, jnp.zeros((), jnp.float32),
+                              jnp.arange(ROUNDS))
+        return acc
+
+    imgs_dev = jax.device_put(images)
+    seed = jax.random.key_data(jax.random.key(42))
+    # warmup/compile (persistently cached). Sync via scalar device_get —
+    # block_until_ready is unreliable on the relay platform.
+    assert np.isfinite(float(fused_rounds(imgs_dev, seed)))
+    t0 = time.perf_counter()
+    assert np.isfinite(float(fused_rounds(imgs_dev, seed)))
+    dt = time.perf_counter() - t0
+    return (ROUNDS * 6 * DEVICE_BATCH) / dt
+
+
+def bench_pil_baseline() -> float:
+    """Reference-equivalent per-image PIL pipeline (transform cost only)."""
+    import random
+
+    from PIL import Image, ImageOps
+
+    rng = random.Random(0)
+    rng_np = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:IMG, 0:IMG].astype(np.float32)
+    base = np.stack([xx % 251, yy % 241, (xx + yy) % 253], -1)
+    images = (base[None] + rng_np.normal(0, 8, (PIL_SAMPLES, IMG, IMG, 3))
+              ).clip(0, 255).astype(np.uint8)
+    pils = [Image.fromarray(a) for a in images]
+    ops_done = 0
+    t0 = time.perf_counter()
+    for img in pils:
+        w, h = img.size
+        img.transpose(Image.FLIP_LEFT_RIGHT)
+        img.rotate(rng.uniform(-30, 30), expand=True, fillcolor="white")
+        s = rng.uniform(0.05, 0.15)
+        img.transform((w, h), Image.PERSPECTIVE,
+                      [1 + s, 0, -s * w, 0, 1 + s, -s * h, 0, 0],
+                      Image.BICUBIC)
+        sh = rng.uniform(-0.2, 0.2)
+        img.transform((w, h), Image.AFFINE, [1, sh, 0, 0, 1, 0], Image.BICUBIC)
+        ratio = rng.uniform(0.8, 0.95)
+        nw, nh = int(w * ratio), int(h * ratio)
+        left = rng.randint(0, w - nw)
+        top = rng.randint(0, h - nh)
+        img.crop((left, top, left + nw, top + nh)).resize((w, h), Image.LANCZOS)
+        arr = np.asarray(img)
+        noise = np.random.normal(0, 5, arr.shape).astype(np.uint8)
+        noisy = np.clip(arr + noise, 0, 255).astype(np.uint8)
+        ImageOps.autocontrast(Image.fromarray(noisy),
+                              cutoff=rng.uniform(0, 2))
+        ops_done += 6
+    dt = time.perf_counter() - t0
+    return ops_done / dt
+
+
+def main() -> None:
+    device_ips = bench_device()
+    pil_ips = bench_pil_baseline()
+    result = {
+        "metric": "augmented images/sec/chip at 224px",
+        "value": round(device_ips, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(device_ips / pil_ips, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

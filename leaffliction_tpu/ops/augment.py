@@ -35,8 +35,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from leaffliction_tpu.ops.geometry import affine_matrix, homography_warp, rotation_matrix
 from leaffliction_tpu.ops.photometric import autocontrast
+from leaffliction_tpu.ops.resample import (
+    rotate_warp,
+    scale_translate_warp,
+    shear_warp,
+)
 
 Array = jax.Array
 
@@ -90,19 +94,16 @@ def _flip_one(key: Array, img: Array) -> Array:
 def _rotate_one(key: Array, img: Array, canvas: Tuple[int, int]) -> Tuple[Array, Array]:
     angle = jax.random.uniform(key, (), jnp.float32,
                                -MAX_ROTATE_DEG, MAX_ROTATE_DEG)
-    h, w = img.shape[0], img.shape[1]
-    mat = rotation_matrix(angle, (h, w), out_hw=canvas)
-    out = homography_warp(img, mat, canvas, fill=255.0)
+    out = rotate_warp(img, angle, canvas, fill=255.0)
     return out, angle
 
 
 def _skew_one(key: Array, img: Array) -> Array:
     h, w = img.shape[0], img.shape[1]
     s = jax.random.uniform(key, (), jnp.float32, 0.05, 0.15)
-    mat = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
-    mat = mat.at[0, 0].set(1.0 + s).at[0, 2].set(-s * w)
-    mat = mat.at[1, 1].set(1.0 + s).at[1, 2].set(-s * h)
-    return homography_warp(img, mat, (h, w), fill=0.0)
+    return scale_translate_warp(
+        img, jnp.stack([1.0 + s, 1.0 + s]), jnp.stack([-s * w, -s * h]),
+        (h, w), fill=0.0)
 
 
 def _shear_one(key: Array, img: Array) -> Array:
@@ -110,16 +111,7 @@ def _shear_one(key: Array, img: Array) -> Array:
     h, w = img.shape[0], img.shape[1]
     s = jax.random.uniform(k_s, (), jnp.float32, -0.2, 0.2)
     horizontal = jax.random.bernoulli(k_dir)
-    zero = jnp.zeros(())
-    one = jnp.ones(())
-    mat_h = jnp.stack([jnp.stack([one, s, zero]),
-                       jnp.stack([zero, one, zero]),
-                       jnp.stack([zero, zero, one])])
-    mat_v = jnp.stack([jnp.stack([one, zero, zero]),
-                       jnp.stack([s, one, zero]),
-                       jnp.stack([zero, zero, one])])
-    mat = jnp.where(horizontal, mat_h, mat_v)
-    return homography_warp(img, mat, (h, w), fill=0.0)
+    return shear_warp(img, s, horizontal, (h, w), fill=0.0)
 
 
 def _crop_one(key: Array, img: Array) -> Array:
@@ -133,14 +125,10 @@ def _crop_one(key: Array, img: Array) -> Array:
     # PIL resize pixel-center mapping: src = (dst + 0.5) * scale - 0.5 + origin
     ax = new_w / w
     ay = new_h / h
-    cx = left + 0.5 * ax - 0.5
-    cy = top + 0.5 * ay - 0.5
-    zero = jnp.zeros(())
-    one = jnp.ones(())
-    mat = jnp.stack([jnp.stack([ax, zero, cx]),
-                     jnp.stack([zero, ay, cy]),
-                     jnp.stack([zero, zero, one])])
-    return homography_warp(img, mat, (h, w), fill=None)
+    return scale_translate_warp(
+        img, jnp.stack([ax, ay]),
+        jnp.stack([left + 0.5 * ax - 0.5, top + 0.5 * ay - 0.5]),
+        (h, w), fill=None)
 
 
 def _distortion_one(key: Array, img: Array) -> Array:

@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from leaffliction_tpu.ops.geometry import homography_warp, rotation_matrix
+from leaffliction_tpu.ops.resample import rotate_warp
 
 Array = jax.Array
 
@@ -30,11 +30,12 @@ def _augment_one(key: Array, img: Array,
     do_flip = jax.random.bernoulli(k_flip)
     img = jnp.where(do_flip, img[:, ::-1, :], img)
 
-    # rotation: U(-frac, frac) * 360 degrees, reflect fill (Keras default)
+    # rotation: U(-frac, frac) * 360 degrees; edge-clamp fill (vs Keras
+    # reflect — tolerance-level delta for stochastic augmentation), via the
+    # MXU 3-shear path rather than a gather warp
     angle = jax.random.uniform(k_rot, (), jnp.float32,
                                -rotation_frac * 360.0, rotation_frac * 360.0)
-    mat = rotation_matrix(angle, (h, w))
-    img = homography_warp(img, mat, (h, w), fill=None)
+    img = rotate_warp(img, angle, (h, w), fill=None)
 
     # contrast: factor U(1-delta, 1+delta) about per-channel mean
     factor = jax.random.uniform(k_con, (), jnp.float32,
