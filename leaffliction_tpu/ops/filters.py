@@ -39,8 +39,9 @@ def _sep_conv2d(img: Array, kx: np.ndarray, ky: np.ndarray) -> Array:
     # rows then cols via depthwise conv
     c = x.shape[-1]
     x4 = x[None]  # NHWC
-    ky_f = jnp.asarray(ky).reshape(-1, 1, 1, 1) * jnp.ones((1, 1, c, 1))
-    kx_f = jnp.asarray(kx).reshape(1, -1, 1, 1) * jnp.ones((1, 1, c, 1))
+    # depthwise kernels: HWIO with I=1 per group, O=c groups
+    ky_f = jnp.asarray(ky).reshape(-1, 1, 1, 1) * jnp.ones((1, 1, 1, c))
+    kx_f = jnp.asarray(kx).reshape(1, -1, 1, 1) * jnp.ones((1, 1, 1, c))
     dn = jax.lax.conv_dimension_numbers(x4.shape, ky_f.shape,
                                         ("NHWC", "HWIO", "NHWC"))
     out = jax.lax.conv_general_dilated(

@@ -21,6 +21,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import tempfile  # noqa: E402
+
+# Isolate the persistent compile cache: the shared dir may hold executables
+# compiled by the remote TPU-relay service with mismatched CPU features.
+os.environ["LEAF_JAX_CACHE_DIR"] = tempfile.mkdtemp(prefix="jaxcache-test-")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
