@@ -56,11 +56,24 @@ def parse_args(argv=None) -> argparse.Namespace:
     mx.add_argument("--small", action="store_true")
     mx.add_argument("--base", action="store_true")
     p.add_argument("--separable", action="store_true")
+    p.add_argument("--arch", choices=["leafcnn", "resnet10", "resnet18"],
+                   default="leafcnn",
+                   help="Backbone: leafcnn (reference-parity) or a deeper "
+                        "ResNet-style model (TPU bf16 target)")
+    p.add_argument("--transform", action="store_true",
+                   help="Apply the mask-segmentation training transform to "
+                        "all images (reference training transform hook)")
     p.add_argument("--target-val-acc", type=float, default=None)
     p.add_argument("--out-dir", type=Path, default=Path("artifacts/models"))
     p.add_argument("--mesh-data", type=int, default=-1,
                    help="Devices on the data-parallel mesh axis (-1: all)")
     p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="Save an orbax resume checkpoint every N epochs")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume from the latest checkpoint in <out-dir>/checkpoints")
+    p.add_argument("--profile-dir", type=Path, default=None,
+                   help="Write a jax.profiler trace of early training steps")
     args = p.parse_args(argv)
     for name in ("tiny", "small", "base"):
         if getattr(args, name, False):
@@ -125,15 +138,31 @@ def main(argv=None) -> None:
                 len(train_store), len(val_store),
                 time.perf_counter() - t_load)
 
+    if args.transform:
+        from leaffliction_tpu.data.loader import apply_training_transform
+
+        t_tf = time.perf_counter()
+        apply_training_transform(train_store)
+        apply_training_transform(val_store)
+        LOGGER.info("Training transform applied in %.1fs",
+                    time.perf_counter() - t_tf)
+
     train_iter = BatchIterator(train_store, args.batch_size, shuffle=True,
                                seed=args.seed)
     val_iter = BatchIterator(val_store, args.batch_size, shuffle=False)
 
     dtype = jnp.float32 if args.no_mixed_precision else jnp.bfloat16
-    model = build_leafcnn(
-        num_classes=num_classes, scale=args.scale, separable=args.separable,
-        use_norm=not args.no_normalization, dtype=dtype,
-    )
+    if args.arch == "leafcnn":
+        model = build_leafcnn(
+            num_classes=num_classes, scale=args.scale,
+            separable=args.separable,
+            use_norm=not args.no_normalization, dtype=dtype,
+        )
+    else:
+        from leaffliction_tpu.models.resnet import build_resnet
+
+        model = build_resnet(num_classes=num_classes, preset=args.arch,
+                             use_norm=not args.no_normalization, dtype=dtype)
 
     mesh = make_mesh(MeshSpec(data=args.mesh_data, model=args.mesh_model))
     LOGGER.info("Mesh: %s over %d %s device(s)", dict(mesh.shape),
@@ -158,7 +187,9 @@ def main(argv=None) -> None:
                  "img_size": args.img_size, "num_classes": num_classes,
                  "train_items": len(train_items),
                  "val_items": len(val_items)},
-        "model": {"name": "leaf_cnn", "scale": args.scale,
+        "model": {"name": ("leaf_cnn" if args.arch == "leafcnn"
+                           else args.arch),
+                  "scale": args.scale,
                   "separable": bool(args.separable),
                   "use_normalization": not args.no_normalization,
                   "widths": list(preset["widths"]),
@@ -175,9 +206,59 @@ def main(argv=None) -> None:
                              "model": int(mesh.shape["model"])}),
     }
 
+    # mid-run checkpoint/resume (orbax) — absent from the reference entirely
+    ckpt_dir = args.out_dir / "checkpoints"
+    start_epoch = 0
+    history = None
+    if args.resume:
+        import json as _json
+
+        from leaffliction_tpu.train.checkpoint import (
+            latest_resume_step,
+            restore_resume_checkpoint,
+        )
+
+        latest = latest_resume_step(ckpt_dir)
+        if latest is not None:
+            state = restore_resume_checkpoint(ckpt_dir, latest, state)
+            start_epoch = latest + 1
+            hist_file = ckpt_dir / "history.json"
+            if hist_file.exists():
+                history = _json.loads(hist_file.read_text())
+            LOGGER.info("Resumed from checkpoint at epoch %d", latest + 1)
+        else:
+            LOGGER.warning("No checkpoint found in %s; training from scratch",
+                           ckpt_dir)
+
+    epoch_callback = None
+    if args.checkpoint_every > 0:
+        import json as _json
+
+        from leaffliction_tpu.train.checkpoint import save_resume_checkpoint
+
+        def epoch_callback(epoch, st, hist):
+            if (epoch + 1) % args.checkpoint_every == 0:
+                save_resume_checkpoint(ckpt_dir, epoch, st)
+                ckpt_dir.mkdir(parents=True, exist_ok=True)
+                (ckpt_dir / "history.json").write_text(_json.dumps(hist))
+                LOGGER.info("Checkpoint saved at epoch %d", epoch + 1)
+
+    profile_ctx = None
+    if args.profile_dir is not None:
+        args.profile_dir.mkdir(parents=True, exist_ok=True)
+        jax.profiler.start_trace(str(args.profile_dir))
+        profile_ctx = True
+        LOGGER.info("Profiler trace started -> %s", args.profile_dir)
+
     result = fit(step_fns, state, train_iter, val_iter, cfg,
                  epochs=args.epochs, seed=args.seed,
-                 target_val_acc=args.target_val_acc)
+                 target_val_acc=args.target_val_acc,
+                 start_epoch=start_epoch, history=history,
+                 epoch_callback=epoch_callback)
+
+    if profile_ctx:
+        jax.profiler.stop_trace()
+        LOGGER.info("Profiler trace written to %s", args.profile_dir)
     LOGGER.info("Training done: %d steps in %.1fs (%.1f images/sec), "
                 "val_acc=%.4f (%s)", result.steps_ran, result.train_time_s,
                 result.images_per_sec, result.val_accuracy,

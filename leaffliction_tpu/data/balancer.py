@@ -156,6 +156,26 @@ class DatasetBalancer:
             pil_expanded_size,
         )
 
+        # native libjpeg IO when built (skips per-image Python codec overhead)
+        try:
+            from leaffliction_tpu.data import native as native_jpeg
+
+            use_native = native_jpeg.native_available()
+        except Exception:
+            use_native = False
+
+        def read_rgb(path: Path) -> np.ndarray:
+            if use_native:
+                return native_jpeg.decode_full(str(path))
+            with Image.open(path) as im:
+                return np.asarray(im.convert("RGB"), np.uint8)
+
+        def write_jpeg(path: Path, arr: np.ndarray) -> None:
+            if use_native:
+                native_jpeg.encode(str(path), arr, 95)
+            else:
+                Image.fromarray(arr).save(path, quality=95)
+
         total = len(tasks)
         LOGGER.info("Starting batched augmentation: %d images to generate",
                     total)
@@ -168,9 +188,7 @@ class DatasetBalancer:
         for task in tasks:
             if task.source_img not in decoded:
                 try:
-                    with Image.open(task.source_img) as im:
-                        decoded[task.source_img] = np.asarray(
-                            im.convert("RGB"), np.uint8)
+                    decoded[task.source_img] = read_rgb(task.source_img)
                 except Exception as exc:
                     LOGGER.error("Failed to read %s: %s", task.source_img, exc)
                     decoded[task.source_img] = None  # type: ignore[assignment]
@@ -207,8 +225,7 @@ class DatasetBalancer:
                             top = max((ch - eh) // 2, 0)
                             left = max((cw - ew) // 2, 0)
                             img_np = img_np[top:top + eh, left:left + ew]
-                        Image.fromarray(img_np).save(task.output_path,
-                                                     quality=95)
+                        write_jpeg(task.output_path, img_np)
                         completed += 1
                     except Exception as exc:
                         LOGGER.error("Failed: %s (%s)", task.output_path, exc)

@@ -49,6 +49,22 @@ def decode_resize_pil(path: str, img_size: int) -> np.ndarray:
         return np.asarray(im, np.uint8)
 
 
+def default_decode_fn() -> Callable[[str, int], np.ndarray]:
+    """Native libjpeg decoder when built (≈2x PIL on this host), else PIL.
+    Set LEAF_NATIVE_DECODE=0 to force the PIL path (exact LANCZOS parity)."""
+    import os
+
+    if os.environ.get("LEAF_NATIVE_DECODE", "1") != "0":
+        try:
+            from leaffliction_tpu.data import native
+
+            if native.native_available():
+                return native.decode_resize_native
+        except Exception:  # pragma: no cover - build toolchain missing
+            pass
+    return decode_resize_pil
+
+
 class Batch(NamedTuple):
     images: np.ndarray   # [B, S, S, 3] uint8
     labels: np.ndarray   # [B] int32
@@ -64,9 +80,10 @@ class ImageStore:
         items: Sequence[ManifestItem],
         label2idx: dict,
         img_size: int,
-        decode_fn: Callable[[str, int], np.ndarray] = decode_resize_pil,
+        decode_fn: Optional[Callable[[str, int], np.ndarray]] = None,
         workers: int = 4,
     ) -> None:
+        decode_fn = decode_fn or default_decode_fn()
         self.items = list(items)
         self.img_size = img_size
         self.labels = np.asarray(
@@ -156,6 +173,47 @@ class BatchIterator:
                     [sel, np.full((pad,), -1, np.int32)]
                 ),
             )
+
+
+def apply_training_transform(store: ImageStore, cfg=None,
+                             device_batch: int = 64) -> None:
+    """Replace cached images with mask-segmented versions (leaf on white).
+
+    On-device batched equivalent of the reference's per-image training
+    transform hook (`srcs/cli/Transformation.py:709-1053`: full mask pipeline
+    + white-background apply, cached per image). Running it once over the
+    RAM cache reproduces the reference's cache semantics; the light
+    brightness/contrast jitter the hook adds per epoch is covered by the
+    in-graph train augmentation.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from leaffliction_tpu.segment.config import TransformConfig
+    from leaffliction_tpu.segment.mask import apply_mask_white, make_mask_batch
+
+    cfg = cfg or TransformConfig(mask_upscale_factor=1.0,
+                                 mask_upscale_long_side=0,
+                                 grabcut_refine=False)
+
+    @jax.jit
+    def _transform(imgs):
+        masks, _ = make_mask_batch(imgs.astype(jnp.float32), cfg)
+        out = apply_mask_white(imgs, masks)
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+    n = len(store.images)
+    for start in range(0, n, device_batch):
+        chunk = store.images[start:start + device_batch]
+        pad = device_batch - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        out = np.asarray(jax.device_get(_transform(chunk)))
+        store.images[start:start + device_batch] = out[:device_batch - pad
+                                                       if pad else device_batch]
+    LOGGER.info("Applied training transform (masked, white bg) to %d images",
+                n)
 
 
 def sample_batch(store: ImageStore, n: int, seed: int = 0) -> np.ndarray:

@@ -1,0 +1,117 @@
+"""ctypes bindings for the native libjpeg decode/encode helper.
+
+Auto-builds `libleafjpeg.so` on first use when a compiler is present;
+callers fall back to PIL when unavailable (`native_available()`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from leaffliction_tpu.core.logging import get_logger
+
+LOGGER = get_logger(__name__)
+
+_DIR = Path(__file__).parent
+_LIB_PATH = _DIR / "libleafjpeg.so"
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    try:
+        if not _LIB_PATH.exists():
+            subprocess.run(["sh", str(_DIR / "build.sh")], check=True,
+                           capture_output=True, timeout=120)
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.leaf_jpeg_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.leaf_jpeg_dims.restype = ctypes.c_int
+        lib.leaf_decode_jpeg_resize.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_void_p]
+        lib.leaf_decode_jpeg_resize.restype = ctypes.c_int
+        lib.leaf_decode_jpeg.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.leaf_decode_jpeg.restype = ctypes.c_int
+        lib.leaf_encode_jpeg.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.leaf_encode_jpeg.restype = ctypes.c_int
+        _lib = lib
+    except Exception as exc:
+        LOGGER.warning("Native JPEG helper unavailable (%s); using PIL", exc)
+        _load_failed = True
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def decode_resize(path: str, target: int) -> np.ndarray:
+    """Decode JPEG file → target×target×3 uint8 RGB (DCT-scaled + bilinear)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    data = Path(path).read_bytes()
+    out = np.empty((target, target, 3), np.uint8)
+    rc = lib.leaf_decode_jpeg_resize(
+        data, len(data), target, out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed for {path} (rc={rc})")
+    return out
+
+
+def decode_full(path: str) -> np.ndarray:
+    """Decode JPEG file at native size → H×W×3 uint8 RGB."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    data = Path(path).read_bytes()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.leaf_jpeg_dims(data, len(data), ctypes.byref(w),
+                          ctypes.byref(h)) != 0:
+        raise ValueError(f"Not a JPEG: {path}")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.leaf_decode_jpeg(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), out.nbytes,
+        ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed for {path} (rc={rc})")
+    return out
+
+
+def encode(path: str, rgb: np.ndarray, quality: int = 95) -> None:
+    """Encode uint8 RGB → JPEG file (reference save quality 95)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native encoder unavailable")
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    h, w = rgb.shape[:2]
+    cap = rgb.nbytes + 65536
+    out = np.empty((cap,), np.uint8)
+    out_len = ctypes.c_size_t()
+    rc = lib.leaf_encode_jpeg(
+        rgb.ctypes.data_as(ctypes.c_void_p), w, h, quality,
+        out.ctypes.data_as(ctypes.c_void_p), cap, ctypes.byref(out_len))
+    if rc != 0:
+        raise ValueError(f"JPEG encode failed (rc={rc})")
+    Path(path).write_bytes(out[:out_len.value].tobytes())
+
+
+def decode_resize_native(path: str, img_size: int) -> np.ndarray:
+    """Loader-compatible decode_fn (same signature as decode_resize_pil)."""
+    return decode_resize(path, img_size)

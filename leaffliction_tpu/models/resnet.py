@@ -1,0 +1,115 @@
+"""ResNet-style deeper backbone — BASELINE.json config 4.
+
+The reference has no deeper model; its `--scale base` tops out at 4 stages of
+single residual blocks (`srcs/cli/train.py:266-280`). This backbone provides
+the "ResNet-style deeper backbone at 224px, bf16" target: a classic
+stem + [stage × blocks] layout with strided downsampling, SE blocks, and the
+same logits-out contract as LeafCNN so the trainer/predictor work unchanged.
+
+Presets:
+- resnet18-ish: (2, 2, 2, 2) basic blocks, widths (64, 128, 256, 512)
+- resnet10:     (1, 1, 1, 1) — fast variant
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from leaffliction_tpu.models.leafcnn import SEBlock
+
+Array = jax.Array
+
+RESNET_PRESETS: Dict[str, Dict[str, Any]] = {
+    "resnet10": {"blocks": (1, 1, 1, 1), "widths": (64, 128, 256, 512)},
+    "resnet18": {"blocks": (2, 2, 2, 2), "widths": (64, 128, 256, 512)},
+}
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: int = 1
+    use_se: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        shortcut = x
+        y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
+                    padding="SAME", use_bias=False, dtype=self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         scale_init=nn.initializers.zeros,
+                         dtype=self.dtype)(y)
+        if self.use_se:
+            y = SEBlock(dtype=self.dtype)(y)
+        if shortcut.shape[-1] != self.features or self.strides != 1:
+            shortcut = nn.Conv(self.features, (1, 1),
+                               strides=(self.strides,) * 2, use_bias=False,
+                               dtype=self.dtype)(shortcut)
+            shortcut = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, dtype=self.dtype)(shortcut)
+        return nn.relu(shortcut + y)
+
+
+class LeafResNet(nn.Module):
+    """Input: N×H×W×3 float [0,1]. Output: logits N×K (LeafCNN contract)."""
+
+    num_classes: int
+    blocks: Sequence[int] = (2, 2, 2, 2)
+    widths: Sequence[int] = (64, 128, 256, 512)
+    use_se: bool = True
+    use_norm: bool = True
+    drop_top: float = 0.2
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        if self.use_norm:
+            mean = self.variable("norm_stats", "mean",
+                                 lambda: jnp.zeros((3,), jnp.float32))
+            var = self.variable("norm_stats", "var",
+                                lambda: jnp.ones((3,), jnp.float32))
+            x = (x - mean.value) * jax.lax.rsqrt(var.value + 1e-7)
+        x = x.astype(self.dtype)
+
+        # stem: 7x7/2 + maxpool/2 (224 → 56)
+        x = nn.Conv(self.widths[0], (7, 7), strides=(2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+        for stage, (n_blocks, width) in enumerate(zip(self.blocks,
+                                                      self.widths)):
+            for block in range(n_blocks):
+                strides = 2 if (block == 0 and stage > 0) else 1
+                x = BasicBlock(width, strides, self.use_se,
+                               self.dtype)(x, train)
+
+        x = jnp.mean(x, axis=(1, 2))
+        if self.drop_top > 0:
+            x = nn.Dropout(self.drop_top, deterministic=not train)(x)
+        x = x.astype(jnp.float32)
+        return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
+
+
+def build_resnet(
+    num_classes: int,
+    preset: str = "resnet18",
+    use_norm: bool = True,
+    dtype: Any = jnp.bfloat16,
+) -> LeafResNet:
+    spec = RESNET_PRESETS[preset]
+    return LeafResNet(
+        num_classes=num_classes, blocks=tuple(spec["blocks"]),
+        widths=tuple(spec["widths"]), use_norm=use_norm, dtype=dtype,
+    )

@@ -39,15 +39,26 @@ class ModelLoader:
             model_file = self.learnings_dir / model_file.name
         mcfg = self.meta.get("model", {})
         use_bf16 = self.meta.get("training", {}).get("mixed_precision", True)
-        self.model = LeafCNN(
-            num_classes=self.num_classes,
-            widths=tuple(mcfg.get("widths", (32, 64, 128, 256))),
-            drop_block=mcfg.get("drop_block", 0.15),
-            drop_top=mcfg.get("drop_top", 0.40),
-            separable=bool(mcfg.get("separable", False)),
-            use_norm=bool(mcfg.get("use_normalization", True)),
-            dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
-        )
+        dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+        arch = mcfg.get("name", "leaf_cnn")
+        if arch in ("resnet10", "resnet18"):
+            from leaffliction_tpu.models.resnet import build_resnet
+
+            self.model = build_resnet(
+                num_classes=self.num_classes, preset=arch,
+                use_norm=bool(mcfg.get("use_normalization", True)),
+                dtype=dtype,
+            )
+        else:
+            self.model = LeafCNN(
+                num_classes=self.num_classes,
+                widths=tuple(mcfg.get("widths", (32, 64, 128, 256))),
+                drop_block=mcfg.get("drop_block", 0.15),
+                drop_top=mcfg.get("drop_top", 0.40),
+                separable=bool(mcfg.get("separable", False)),
+                use_norm=bool(mcfg.get("use_normalization", True)),
+                dtype=dtype,
+            )
         restored = load_model_msgpack(model_file)
         self.variables = {
             "params": restored["params"],

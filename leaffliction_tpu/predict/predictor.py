@@ -23,7 +23,7 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 from leaffliction_tpu.core.logging import get_logger
-from leaffliction_tpu.data.loader import decode_resize_pil
+from leaffliction_tpu.data.loader import decode_resize_pil, default_decode_fn
 from leaffliction_tpu.predict.model_loader import ModelLoader
 
 LOGGER = get_logger(__name__)
@@ -78,10 +78,11 @@ class Predictor:
         n = len(paths)
         arrays = np.zeros((n, size, size, 3), np.uint8)
         ok: List[bool] = [False] * n
+        decode = default_decode_fn()
 
         def _load(i: int) -> None:
             try:
-                arrays[i] = decode_resize_pil(str(paths[i]), size)
+                arrays[i] = decode(str(paths[i]), size)
                 ok[i] = True
             except Exception as exc:
                 LOGGER.warning("Failed to process %s: %s", paths[i], exc)

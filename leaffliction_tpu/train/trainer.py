@@ -82,9 +82,18 @@ def fit(
     seed: int,
     target_val_acc: Optional[float] = None,
     log_every: int = 50,
+    start_epoch: int = 0,
+    history: Optional[Dict[str, List[float]]] = None,
+    epoch_callback=None,
 ) -> FitResult:
+    """Run the training loop.
+
+    `start_epoch`/`history` support mid-run resume (orbax checkpoints — a
+    capability the reference lacks, SURVEY §5); `epoch_callback(epoch, state,
+    history)` fires after each epoch's eval (checkpoint saving hook).
+    """
     root_key = jax.random.key(seed)
-    history: Dict[str, List[float]] = {
+    history = history if history is not None else {
         "loss": [], "accuracy": [], "val_loss": [], "val_accuracy": [],
     }
 
@@ -104,7 +113,7 @@ def fit(
     epochs_ran = 0
     t0 = time.perf_counter()
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         epochs_ran = epoch + 1
         ep_loss = 0.0
         ep_correct = 0.0
@@ -136,6 +145,8 @@ def fit(
             epoch + 1, epochs, history["loss"][-1], history["accuracy"][-1],
             val_loss, val_acc,
         )
+        if epoch_callback is not None:
+            epoch_callback(epoch, state, history)
 
         # EarlyStopping bookkeeping (min_delta=0, like Keras defaults)
         if val_loss < best_val_loss:
