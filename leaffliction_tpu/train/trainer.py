@@ -32,6 +32,47 @@ from leaffliction_tpu.train.steps import StepFns, TrainState
 LOGGER = get_logger(__name__)
 
 
+def prefetch_to_device(batches, mesh, lookahead: int = 2):
+    """device_put batches ahead of consumption.
+
+    jax dispatch is async, so the host→device transfer of batch N+1 overlaps
+    the compute of batch N — essential on hosts where the transfer path is
+    slow (the tunneled dev chip moves ~3-70 MB/s). Multi-device meshes get
+    the batch sharded over the `data` axis.
+    """
+    from collections import deque
+
+    from leaffliction_tpu.data.loader import Batch
+    from leaffliction_tpu.parallel.mesh import batch_sharding
+
+    def _put(b: "Batch") -> "Batch":
+        if mesh.size == 1:
+            return Batch(images=jax.device_put(b.images),
+                         labels=jax.device_put(b.labels),
+                         mask=jax.device_put(b.mask),
+                         indices=b.indices)
+        return Batch(
+            images=jax.device_put(b.images, batch_sharding(mesh, 4)),
+            labels=jax.device_put(b.labels, batch_sharding(mesh, 1)),
+            mask=jax.device_put(b.mask, batch_sharding(mesh, 1)),
+            indices=b.indices,
+        )
+
+    queue: "deque" = deque()
+    it = iter(batches)
+    for _ in range(lookahead):
+        try:
+            queue.append(_put(next(it)))
+        except StopIteration:
+            break
+    while queue:
+        try:
+            queue.append(_put(next(it)))
+        except StopIteration:
+            pass
+        yield queue.popleft()
+
+
 @dataclasses.dataclass
 class FitResult:
     state: TrainState
@@ -56,15 +97,15 @@ def evaluate(
     correct = 0.0
     n = 0.0
     ys, ps = [], []
-    for batch in val_iter.epoch(0):
+    for batch in prefetch_to_device(val_iter.epoch(0), step_fns.mesh):
         metrics, preds = eval_fn(state, batch.images, batch.labels, batch.mask)
         metrics = jax.device_get(metrics)
         preds = np.asarray(jax.device_get(preds))
         loss_sum += float(metrics["loss_sum"])
         correct += float(metrics["correct"])
         n += float(metrics["n"])
-        keep = batch.mask > 0
-        ys.append(batch.labels[keep])
+        keep = np.asarray(batch.mask) > 0
+        ys.append(np.asarray(batch.labels)[keep])
         ps.append(preds[keep])
     n = max(n, 1.0)
     y_true = np.concatenate(ys) if ys else np.zeros((0,), np.int32)
@@ -118,7 +159,8 @@ def fit(
         ep_loss = 0.0
         ep_correct = 0.0
         ep_n = 0.0
-        for i, batch in enumerate(train_iter.epoch(epoch)):
+        for i, batch in enumerate(
+                prefetch_to_device(train_iter.epoch(epoch), step_fns.mesh)):
             key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
             state, metrics = step_fns.train_step(
                 state, batch.images, batch.labels, batch.mask, key
