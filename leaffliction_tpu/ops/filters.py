@@ -126,14 +126,17 @@ def canny(gray: Array, low: float = 50.0, high: float = 150.0,
     strong = is_max & (mag > high)
     weak = is_max & (mag > low)
 
-    def body(_, s):
-        grown = jax.lax.reduce_window(
-            s, False, jax.lax.bitwise_or, (3, 3), (1, 1), [(1, 1), (1, 1)]
-        )
-        return grown & weak
+    # hysteresis = keep weak-edge components containing a strong pixel:
+    # one pointer-jump component labeling + a per-component strong flag,
+    # instead of O(chain-length) dilation rounds.
+    from leaffliction_tpu.ops.components import label_components
 
-    edges = jax.lax.fori_loop(0, hysteresis_iters, body, strong)
-    return edges
+    labels = label_components(weak)
+    h, w = labels.shape[-2], labels.shape[-1]
+    table = jnp.zeros((h * w + 1,), jnp.bool_).at[
+        jnp.where(strong, labels, 0).reshape(-1)].max(True)
+    table = table.at[0].set(False)
+    return weak & table[labels]
 
 
 @partial(jax.jit, static_argnames=("max_corners", "min_distance", "block_size"))

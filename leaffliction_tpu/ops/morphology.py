@@ -47,24 +47,39 @@ def _window_reduce(mask: Array, ksize: int, op: str, shape: str) -> Array:
             x, True, jax.lax.bitwise_and, (ksize, ksize), (1, 1),
             [(pad, ksize - 1 - pad)] * 2,
         )
-    # ellipse: shift-and-combine over kernel offsets (static unroll)
+    # ellipse: row decomposition — the kernel is a stack of horizontal runs,
+    # so dilation = OR over dy of (row-dilate by run-width, shifted by dy).
+    # k reduce_windows instead of k² shift-combines (matters for k=9..39).
     kern = _ellipse_kernel(ksize)
-    init = jnp.zeros_like(x) if op == "max" else jnp.ones_like(x)
-    if op == "max":
-        padded = jnp.pad(x, pad, constant_values=False)
-    else:
-        padded = jnp.pad(x, pad, constant_values=True)
-    out = init
     h, w = x.shape[-2], x.shape[-1]
+    if op == "max":
+        padded = jnp.pad(x, ((pad, ksize - 1 - pad), (0, 0)),
+                         constant_values=False)
+    else:
+        padded = jnp.pad(x, ((pad, ksize - 1 - pad), (0, 0)),
+                         constant_values=True)
+    out = None
     for dy in range(ksize):
-        for dx in range(ksize):
-            if not kern[dy, dx]:
-                continue
-            shifted = jax.lax.dynamic_slice_in_dim(
-                jax.lax.dynamic_slice_in_dim(padded, dy, h, axis=-2),
-                dx, w, axis=-1,
+        row = kern[dy]
+        if not row.any():
+            continue
+        xs = np.nonzero(row)[0]
+        x0, x1 = int(xs.min()), int(xs.max())
+        width = x1 - x0 + 1
+        lpad = pad - x0  # horizontal padding for this run
+        shifted = jax.lax.dynamic_slice_in_dim(padded, dy, h, axis=-2)
+        if op == "max":
+            run = jax.lax.reduce_window(
+                shifted, False, jax.lax.bitwise_or, (1, width), (1, 1),
+                [(0, 0), (lpad, width - 1 - lpad)],
             )
-            out = (out | shifted) if op == "max" else (out & shifted)
+            out = run if out is None else (out | run)
+        else:
+            run = jax.lax.reduce_window(
+                shifted, True, jax.lax.bitwise_and, (1, width), (1, 1),
+                [(0, 0), (lpad, width - 1 - lpad)],
+            )
+            out = run if out is None else (out & run)
     return out
 
 

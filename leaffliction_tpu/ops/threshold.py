@@ -18,8 +18,10 @@ Array = jax.Array
 def histogram_256(img: Array, mask: Optional[Array] = None) -> Array:
     """256-bin histogram of an 8-bit single-channel image (optionally masked).
 
-    Compare-and-matmul instead of scatter-add: XLA fuses the on-the-fly
-    one-hot into MXU tiles, ~17x faster than scatter on TPU.
+    Computed as a [P/64, 64] × one-hot contraction in chunks: a plain
+    `(flat[:,None]==bins)` einsum materializes a P×256 float intermediate
+    under vmap (gigabytes at batch 16), and a scatter-add serializes. The
+    chunked matmul keeps the one-hot tile-resident.
     """
     q = jnp.clip(jnp.round(img.astype(jnp.float32)), 0, 255)
     flat = q.reshape(-1)
@@ -28,10 +30,24 @@ def histogram_256(img: Array, mask: Optional[Array] = None) -> Array:
         if mask is not None
         else jnp.ones_like(flat, jnp.float32)
     )
+    n = flat.shape[0]
+    chunk = 2048
+    pad = (-n) % chunk
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+        weights = jnp.concatenate([weights, jnp.zeros((pad,), jnp.float32)])
+    flat = flat.reshape(-1, chunk)
+    weights = weights.reshape(-1, chunk)
     bins = jnp.arange(256, dtype=jnp.float32)
-    onehot = (flat[:, None] == bins[None, :]).astype(jnp.float32)
-    return jnp.einsum("pb,p->b", onehot, weights,
-                      preferred_element_type=jnp.float32)
+
+    def body(carry, xs):
+        vals, wts = xs
+        onehot = (vals[:, None] == bins[None, :]).astype(jnp.float32)
+        return carry + wts @ onehot, None
+
+    hist, _ = jax.lax.scan(body, jnp.zeros((256,), jnp.float32),
+                           (flat, weights))
+    return hist
 
 
 def otsu_threshold(img: Array, mask: Optional[Array] = None) -> Array:

@@ -399,10 +399,13 @@ def make_mask_core(rgb: Array, cfg: TransformConfig) -> Tuple[Array, Array]:
         best = jnp.where(sc2 >= best_score, shadowless, best)
         best_score = jnp.maximum(sc2, best_score)
 
-    # fallback when nothing scored (> -1 requires non-empty)
-    fb = fallback_mask(rgb, cfg)
-    use_fb = best_score <= 0.0
-    best = jnp.where(use_fb, fb, best)
+    # fallback when nothing scored — lax.cond so the Otsu+postprocess branch
+    # only executes on the (rare) failure path
+    best = jax.lax.cond(
+        best_score <= 0.0,
+        lambda: fallback_mask(rgb, cfg),
+        lambda: best,
+    )
 
     best = extend_with_brown(best, rgb, cfg)
     return best, best_score
