@@ -79,6 +79,24 @@ def sobel_magnitude(gray: Array) -> Array:
     return jnp.sqrt(gx * gx + gy * gy)
 
 
+def quantize_gradient_sector(gx: Array, gy: Array) -> Array:
+    """Gradient orientation quantized to {0°, 45°, 90°, 135°} sectors via
+    ratio comparisons (atan2-free: also usable inside Pallas kernels).
+
+    tan(22.5°) and tan(67.5°) bound the diagonal band; the sign of gx·gy
+    distinguishes 45° from 135°.
+    """
+    ax = jnp.abs(gx)
+    ay = jnp.abs(gy)
+    t1 = 0.41421356  # tan(22.5°)
+    t2 = 2.41421356  # tan(67.5°)
+    same_sign = (gx * gy) >= 0
+    return jnp.where(
+        ay <= t1 * ax, 0,
+        jnp.where(ay > t2 * ax, 2, jnp.where(same_sign, 1, 3)),
+    ).astype(jnp.int32)
+
+
 def normalize_minmax(x: Array, lo: float = 0.0, hi: float = 255.0) -> Array:
     """cv2.normalize(NORM_MINMAX) equivalent."""
     mn = jnp.min(x)
@@ -87,16 +105,8 @@ def normalize_minmax(x: Array, lo: float = 0.0, hi: float = 255.0) -> Array:
     return jnp.where(mx > mn, (x - mn) * scale + lo, jnp.zeros_like(x) + lo)
 
 
-@partial(jax.jit, static_argnames=("low", "high", "l2", "hysteresis_iters"))
-def canny(gray: Array, low: float = 50.0, high: float = 150.0,
-          l2: bool = False, hysteresis_iters: int = 32) -> Array:
-    """cv2.Canny-style edges (bool mask).
-
-    Gaussian 5x5 → Sobel → magnitude (L1 by default, like cv2) →
-    non-maximum suppression over 4 quantized directions → double threshold →
-    hysteresis: weak edges connected to strong ones via iterative masked
-    dilation (fixed iteration bound keeps the program static).
-    """
+def _edge_nms_jnp(gray: Array, l2: bool) -> Array:
+    """NMS gradient magnitude — jnp reference path (reflect borders)."""
     g = gaussian_blur(gray.astype(jnp.float32), 5, 1.4)
     gx, gy = sobel_xy(g)
     if l2:
@@ -104,11 +114,7 @@ def canny(gray: Array, low: float = 50.0, high: float = 150.0,
     else:
         mag = jnp.abs(gx) + jnp.abs(gy)
 
-    # quantize direction to {0°, 45°, 90°, 135°}
-    angle = jnp.arctan2(gy, gx)  # [-pi, pi]
-    deg = jnp.rad2deg(angle)
-    deg = jnp.where(deg < 0, deg + 180.0, deg)
-    sector = ((deg + 22.5) // 45.0).astype(jnp.int32) % 4
+    sector = quantize_gradient_sector(gx, gy)
 
     def shift(m, dy, dx):
         return jnp.roll(jnp.roll(m, dy, axis=0), dx, axis=1)
@@ -122,9 +128,29 @@ def canny(gray: Array, low: float = 50.0, high: float = 150.0,
     nb = jnp.select([sector == 0, sector == 1, sector == 2, sector == 3],
                     [n0b, n1b, n2b, n3b])
     is_max = (mag >= na) & (mag >= nb)
+    return jnp.where(is_max, mag, 0.0)
 
-    strong = is_max & (mag > high)
-    weak = is_max & (mag > low)
+
+@partial(jax.jit, static_argnames=("low", "high", "l2", "hysteresis_iters"))
+def canny(gray: Array, low: float = 50.0, high: float = 150.0,
+          l2: bool = False, hysteresis_iters: int = 32) -> Array:
+    """cv2.Canny-style edges (bool mask).
+
+    Gaussian 5x5 → Sobel → magnitude (L1 by default, like cv2) →
+    direction-quantized non-maximum suppression → double threshold →
+    hysteresis via component labeling. On TPU the Gauss/Sobel/NMS front-end
+    runs as one fused Pallas VMEM kernel (`ops/pallas/edge.py`); elsewhere
+    the jnp path is used (borders differ within a ≤4 px margin).
+    """
+    if jax.default_backend() == "tpu":
+        from leaffliction_tpu.ops.pallas.edge import edge_nms_batch
+
+        nms = edge_nms_batch(gray[None], l2=l2)[0]
+    else:
+        nms = _edge_nms_jnp(gray, l2)
+
+    strong = nms > high
+    weak = nms > low
 
     # hysteresis = keep weak-edge components containing a strong pixel:
     # one pointer-jump component labeling + a per-component strong flag,
