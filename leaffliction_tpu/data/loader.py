@@ -215,6 +215,39 @@ def apply_training_transform(store: ImageStore, cfg=None,
     LOGGER.info("Applied training transform (masked, white bg) to %d images",
                 n)
 
+    # env-gated previews (reference LEAF_SAVE_TRANSFORMS,
+    # `srcs/cli/Transformation.py:879-938`)
+    import os
+
+    if os.environ.get("LEAF_SAVE_TRANSFORMS"):
+        from pathlib import Path
+
+        from PIL import Image
+
+        out_dir = Path(os.environ.get("LEAF_SAVE_TRANSFORMS_DIR",
+                                      "artifacts/transform_previews"))
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(min(8, n)):
+            Image.fromarray(store.images[i]).save(
+                out_dir / f"preview_{i}.jpg", quality=95)
+        LOGGER.info("Saved transform previews to %s", out_dir)
+
+
+def items_for_process(items, process_index: Optional[int] = None,
+                      process_count: Optional[int] = None):
+    """Shard manifest items across hosts for multi-process data loading.
+
+    Each host decodes only its stride of the dataset (the reference loads
+    everything on one host; multi-host TPU slices need per-host shards so the
+    global batch assembles across processes)."""
+    import jax
+
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if pc <= 1:
+        return list(items)
+    return [it for i, it in enumerate(items) if i % pc == pi]
+
 
 def sample_batch(store: ImageStore, n: int, seed: int = 0) -> np.ndarray:
     """Up to `n` images for normalization adaptation

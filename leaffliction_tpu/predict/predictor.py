@@ -57,11 +57,15 @@ class Predictor:
     # --- core batched forward ---------------------------------------------
 
     def _probs_for_arrays(self, arrays: np.ndarray) -> np.ndarray:
-        """uint8 [N,S,S,3] → probabilities [N,K]; pads to SERVING_BATCH."""
+        """uint8 [N,S,S,3] → probabilities [N,K]; pads to SERVING_BATCH.
+
+        All chunks are dispatched before any result is fetched — async jax
+        dispatch overlaps each chunk's host→device transfer with the previous
+        chunk's compute (the transfer dominates on slow links)."""
         import jax
 
         n = arrays.shape[0]
-        out = []
+        pending = []
         for start in range(0, n, SERVING_BATCH):
             chunk = arrays[start:start + SERVING_BATCH]
             pad = SERVING_BATCH - chunk.shape[0]
@@ -69,8 +73,12 @@ class Predictor:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
                 )
-            probs = np.asarray(jax.device_get(self._infer(chunk)))
-            out.append(probs[:SERVING_BATCH - pad if pad else SERVING_BATCH])
+            pending.append((self._infer(chunk), pad))
+        out = [
+            np.asarray(jax.device_get(probs))[:SERVING_BATCH - pad
+                                              if pad else SERVING_BATCH]
+            for probs, pad in pending
+        ]
         return np.concatenate(out) if out else np.zeros((0, 0))
 
     def _decode_many(self, paths: Sequence[Path]) -> tuple[np.ndarray, list]:
