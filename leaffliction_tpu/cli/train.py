@@ -121,6 +121,12 @@ def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
 
+    from leaffliction_tpu.core.cache import enable_compilation_cache
+    from leaffliction_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()
+    enable_compilation_cache()
+
     from leaffliction_tpu.ops.image import compute_norm_stats
     from leaffliction_tpu.parallel.mesh import MeshSpec, make_mesh
     from leaffliction_tpu.train.artifacts import save_training_artifacts
@@ -130,6 +136,13 @@ def main(argv=None) -> None:
     cfg = TrainConfig.fast() if args.fast else TrainConfig.regularized()
     LOGGER.info("Mode: %s -> %s", "FAST" if args.fast else "REGULARIZED",
                 cfg.as_dict())
+
+    if jax.process_count() > 1:
+        from leaffliction_tpu.data.loader import items_for_process
+
+        train_items = items_for_process(train_items)
+        LOGGER.info("Host %d/%d loads %d train items", jax.process_index(),
+                    jax.process_count(), len(train_items))
 
     t_load = time.perf_counter()
     train_store = ImageStore(train_items, label2idx, args.img_size)

@@ -73,3 +73,33 @@ def save_metrics_json(metrics: Dict[str, float], out_path: Path) -> None:
     out_path.parent.mkdir(parents=True, exist_ok=True)
     with out_path.open("w", encoding="utf-8") as f:
         json.dump(metrics, f, indent=2)
+
+
+def log_metrics_summary(metrics: Dict[str, float], labels: List[str]) -> None:
+    """Key-metrics log block (reference `metrics.py:103-121`)."""
+    import logging
+
+    logger = logging.getLogger(__name__)
+    logger.info("Classification Metrics Summary:")
+    logger.info("  Accuracy: %.4f", metrics["accuracy"])
+    logger.info("  Macro F1: %.4f", metrics["macro_f1"])
+    logger.info("  Weighted F1: %.4f", metrics["weighted_f1"])
+    for label in labels:
+        key = f"f1_{label}"
+        if key in metrics:
+            logger.info("  %s: %.4f", label, metrics[key])
+
+
+def compute_evaluation_metrics(
+    y_true: Sequence[int], y_pred: Sequence[int], labels: List[str],
+    out_dir: Path,
+) -> Dict[str, float]:
+    """Compute, save (`metrics.json`), and log metrics
+    (reference `metrics.py:123-155`; takes predictions directly instead of a
+    Keras model + generator)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    metrics = compute_classification_metrics(y_true, y_pred, labels)
+    save_metrics_json(metrics, out_dir / "metrics.json")
+    log_metrics_summary(metrics, labels)
+    return metrics
