@@ -37,8 +37,8 @@ def clahe(gray: Array, clip_limit: float = 2.0, tiles: int = 8) -> Array:
     hist = jnp.zeros((tiles * tiles, 256), jnp.float32).at[
         t_idx, tiled.reshape(-1)].add(1.0)
 
-    # clip + redistribute (cv2 semantics: clipLimit scaled by tile size / 256)
-    limit = jnp.maximum(clip_limit * (th * tw) / 256.0, 1.0)
+    # clip + redistribute — cv2 floors the scaled limit to an int
+    limit = jnp.maximum(jnp.floor(clip_limit * (th * tw) / 256.0), 1.0)
     excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=1, keepdims=True)
     hist = jnp.minimum(hist, limit) + excess / 256.0
 
