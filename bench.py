@@ -129,7 +129,8 @@ def bench_pil_baseline() -> float:
 
 def main() -> None:
     device_ips = bench_device()
-    pil_ips = bench_pil_baseline()
+    # best-of-2 stabilizes the noisy single-core PIL denominator
+    pil_ips = max(bench_pil_baseline(), bench_pil_baseline())
     result = {
         "metric": "augmented images/sec/chip at 224px",
         "value": round(device_ips, 1),

@@ -181,18 +181,27 @@ class DatasetBalancer:
                     total)
         root_key = jax.random.key(self.seed)
 
+        # decode unique sources on a thread pool (JPEG codecs release the GIL)
+        import concurrent.futures as cf
+
+        unique_srcs = list({t.source_img for t in tasks})
+        decoded: Dict[Path, np.ndarray] = {}
+
+        def _decode(path: Path) -> None:
+            try:
+                decoded[path] = read_rgb(path)
+            except Exception as exc:
+                LOGGER.error("Failed to read %s: %s", path, exc)
+                decoded[path] = None  # type: ignore[assignment]
+
+        with cf.ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(_decode, unique_srcs))
+
         # group by (transform, source image shape) for static-shape batching
         groups: Dict[tuple, List[AugTask]] = defaultdict(list)
-        decoded: Dict[Path, np.ndarray] = {}
         completed = failed = 0
         for task in tasks:
-            if task.source_img not in decoded:
-                try:
-                    decoded[task.source_img] = read_rgb(task.source_img)
-                except Exception as exc:
-                    LOGGER.error("Failed to read %s: %s", task.source_img, exc)
-                    decoded[task.source_img] = None  # type: ignore[assignment]
-            arr = decoded[task.source_img]
+            arr = decoded.get(task.source_img)
             if arr is None:
                 failed += 1
                 continue

@@ -116,7 +116,11 @@ class Predictor:
 
         processed = arr
         if use_transform:
-            processed = self.generate_mask_visualization(arr)
+            precomputed = self._find_precomputed_mask(image_path)
+            if precomputed is not None:
+                processed = precomputed
+            else:
+                processed = self.generate_mask_visualization(arr)
 
         return {
             "image_path": image_path,
@@ -154,6 +158,24 @@ class Predictor:
                 },
             })
         return results
+
+    def _find_precomputed_mask(self, image_path: Path) -> Optional[np.ndarray]:
+        """Reuse a transform-CLI mask if present (reference numbered-image
+        convention `artifacts/transformations/<N>/<stem>__T_Mask.jpg`,
+        `image_processor.py:149-162`)."""
+        import re
+
+        match = re.search(r"image \((\d+)\)", image_path.stem)
+        number = match.group(1) if match else image_path.stem
+        candidate = (Path("artifacts") / "transformations" / number
+                     / f"{image_path.stem}__T_Mask.jpg")
+        if not candidate.exists():
+            return None
+        try:
+            return decode_resize_pil(str(candidate),
+                                     self.model_loader.img_size)
+        except Exception:
+            return None
 
     def generate_mask_visualization(self, arr: np.ndarray) -> np.ndarray:
         """Leaf mask over white background for display — in-process on-device
