@@ -207,6 +207,10 @@ class DatasetBalancer:
                 continue
             groups[(task.transform, arr.shape)].append(task)
 
+        # Phase 1: dispatch every chunk (async). Phase 2: collect + encode.
+        # Uploads of chunk N+1 overlap the device compute and the (slow,
+        # fluctuating) download of chunk N on tunneled links.
+        pending = []
         for (transform, shape), group in groups.items():
             kernel = BATCH_KERNELS[transform]
             for start in range(0, len(group), DEVICE_BATCH):
@@ -216,12 +220,16 @@ class DatasetBalancer:
                     lambda s: jax.random.fold_in(root_key, s)
                 )(np.asarray([t.task_seed for t in chunk], np.uint32))
                 if transform == "rotate":
-                    out, angles = kernel(keys, imgs)
-                    out = np.asarray(jax.device_get(out))
-                    angles = np.asarray(jax.device_get(angles))
+                    out_dev, angles_dev = kernel(keys, imgs)
                 else:
-                    out = np.asarray(jax.device_get(kernel(keys, imgs)))
-                    angles = None
+                    out_dev = kernel(keys, imgs)
+                    angles_dev = None
+                pending.append((transform, shape, chunk, out_dev, angles_dev))
+
+        for transform, shape, chunk, out_dev, angles_dev in pending:
+                out = np.asarray(jax.device_get(out_dev))
+                angles = (np.asarray(jax.device_get(angles_dev))
+                          if angles_dev is not None else None)
                 for j, task in enumerate(chunk):
                     try:
                         img_np = out[j]
