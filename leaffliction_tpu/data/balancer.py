@@ -17,7 +17,6 @@ and its components (`dataset_components.py:12-187`):
 from __future__ import annotations
 
 import json
-import math
 import random
 import shutil
 import time

@@ -22,7 +22,7 @@ deterministic under a fixed seed, reshuffled each epoch).
 from __future__ import annotations
 
 import concurrent.futures as cf
-from typing import Callable, Iterator, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Callable, Iterator, NamedTuple, Optional, Sequence
 
 import numpy as np
 

@@ -29,7 +29,6 @@ compare within tolerance.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Tuple
 
 import jax

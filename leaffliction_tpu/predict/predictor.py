@@ -16,7 +16,6 @@ Capability parity with the reference `Predictor`
 from __future__ import annotations
 
 import concurrent.futures as cf
-from functools import partial
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
 

@@ -10,7 +10,7 @@ summary with health status, hue pie chart.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -114,7 +114,7 @@ def create_train_state(
 
 
 def _loss_fn(logits: Array, labels: Array, mask: Array,
-             num_classes: int, label_smoothing: float) -> Tuple[Array, Array]:
+             num_classes: int, label_smoothing: float) -> tuple[Array, Array]:
     """Masked mean CE (+ optional smoothing) and correct-count."""
     if label_smoothing > 0:
         targets = optax.smooth_labels(

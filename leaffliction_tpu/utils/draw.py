@@ -6,7 +6,7 @@ text) in viz-only paths. Everything operates on uint8 RGB numpy arrays.
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence, Tuple
+from typing import Iterable, Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@ helper / device kernels; these wrappers keep the reference's utility surface.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
