@@ -131,9 +131,11 @@ def _edge_nms_jnp(gray: Array, l2: bool) -> Array:
     return jnp.where(is_max, mag, 0.0)
 
 
-@partial(jax.jit, static_argnames=("low", "high", "l2", "hysteresis_iters"))
+@partial(jax.jit,
+         static_argnames=("low", "high", "l2", "hysteresis", "hysteresis_iters"))
 def canny(gray: Array, low: float = 50.0, high: float = 150.0,
-          l2: bool = False, hysteresis_iters: int = 32) -> Array:
+          l2: bool = False, hysteresis: bool = True,
+          hysteresis_iters: int = 32) -> Array:
     """cv2.Canny-style edges (bool mask).
 
     Gaussian 5x5 → Sobel → magnitude (L1 by default, like cv2) →
@@ -141,6 +143,10 @@ def canny(gray: Array, low: float = 50.0, high: float = 150.0,
     hysteresis via component labeling. On TPU the Gauss/Sobel/NMS front-end
     runs as one fused Pallas VMEM kernel (`ops/pallas/edge.py`); elsewhere
     the jnp path is used (borders differ within a ≤4 px margin).
+
+    `hysteresis=False` skips the chain-connectivity pass and returns the NMS
+    low-threshold edges directly — much cheaper, for callers that only use
+    edges as a dilated soft hint (the mask-candidate strategies).
     """
     if jax.default_backend() == "tpu":
         from leaffliction_tpu.ops.pallas.edge import edge_nms_batch
@@ -148,6 +154,9 @@ def canny(gray: Array, low: float = 50.0, high: float = 150.0,
         nms = edge_nms_batch(gray[None], l2=l2)[0]
     else:
         nms = _edge_nms_jnp(gray, l2)
+
+    if not hysteresis:
+        return nms > low
 
     strong = nms > high
     weak = nms > low

@@ -165,7 +165,7 @@ def _cand_enhanced(rgb: Array, hsv: Array, lab: Array,
                  & (v_c <= cfg.brown_v_max + 30))
 
     gray = rgb_to_gray(rgb)
-    edges = canny(gray, 30, 100) | canny(gray, 50, 150)
+    edges = canny(gray, 30, 100, hysteresis=False) | canny(gray, 50, 150, hysteresis=False)
     edge_regions = dilate(dilate(edges, 5, "ellipse"), 5, "ellipse")
 
     veg = hsv_veg | lab_veg | brown
@@ -203,7 +203,7 @@ def _cand_inclusive(rgb: Array, hsv: Array, lab: Array,
         | ((s_c <= 15) & (texture_diff < 10))
     )
 
-    edges = canny(gray, 30, 100)
+    edges = canny(gray, 30, 100, hysteresis=False)
     dilated_edges = dilate(edges, 3, "ellipse")
 
     plant = (strong_green | green_dominant | lab_green | dilated_edges)

@@ -45,22 +45,16 @@ class TrainState(struct.PyTreeNode):
 
 @dataclasses.dataclass(frozen=True)
 class StepFns:
-    """Compiled step functions + their sharding plan."""
+    """Compiled step functions + the mesh they were built against.
+
+    Batch placement lives in `trainer.prefetch_to_device` (single-device
+    `device_put`, or `parallel.mesh.batch_sharding` on a multi-device mesh).
+    """
 
     train_step: Callable
     eval_step: Callable
     eval_step_ema: Callable
     mesh: Mesh
-
-    def shard_batch(self, tree):
-        sharding = NamedSharding(self.mesh, P("data"))
-
-        def _put(x):
-            spec = P(*(("data",) + (None,) * (x.ndim - 1)))
-            return jax.device_put(x, NamedSharding(self.mesh, spec))
-
-        del sharding
-        return jax.tree_util.tree_map(_put, tree)
 
 
 def make_lr_schedule(cfg: TrainConfig, total_steps: int) -> Callable[[Array], Array]:
