@@ -206,10 +206,43 @@ class DatasetBalancer:
                 continue
             groups[(task.transform, arr.shape)].append(task)
 
-        # Phase 1: dispatch every chunk (async). Phase 2: collect + encode.
-        # Uploads of chunk N+1 overlap the device compute and the (slow,
-        # fluctuating) download of chunk N on tunneled links.
-        pending = []
+        # Windowed pipeline: keep up to PIPELINE_DEPTH chunks in flight so
+        # uploads/compute overlap the (slow, fluctuating) downloads without
+        # holding every output batch in HBM at once.
+        from collections import deque
+
+        PIPELINE_DEPTH = 8
+        pending: "deque" = deque()
+
+        def collect_one() -> None:
+            nonlocal completed, failed
+            transform, shape, chunk, out_dev, angles_dev = pending.popleft()
+            out = np.asarray(jax.device_get(out_dev))
+            angles = (np.asarray(jax.device_get(angles_dev))
+                      if angles_dev is not None else None)
+            for j, task in enumerate(chunk):
+                try:
+                    img_np = out[j]
+                    if angles is not None:
+                        # crop static canvas to the exact PIL-expanded size
+                        h0, w0 = shape[0], shape[1]
+                        ew, eh = pil_expanded_size(float(angles[j]), w0, h0)
+                        ch, cw = img_np.shape[0], img_np.shape[1]
+                        top = max((ch - eh) // 2, 0)
+                        left = max((cw - ew) // 2, 0)
+                        img_np = img_np[top:top + eh, left:left + ew]
+                    write_jpeg(task.output_path, img_np)
+                    completed += 1
+                except Exception as exc:
+                    LOGGER.error("Failed: %s (%s)", task.output_path, exc)
+                    failed += 1
+                if (completed + failed) % 500 == 0:
+                    LOGGER.info(
+                        "Progress: %d/%d (%.1f%%) - %d success, %d failed",
+                        completed + failed, total,
+                        100.0 * (completed + failed) / max(total, 1),
+                        completed, failed)
+
         for (transform, shape), group in groups.items():
             kernel = BATCH_KERNELS[transform]
             for start in range(0, len(group), DEVICE_BATCH):
@@ -224,34 +257,10 @@ class DatasetBalancer:
                     out_dev = kernel(keys, imgs)
                     angles_dev = None
                 pending.append((transform, shape, chunk, out_dev, angles_dev))
-
-        for transform, shape, chunk, out_dev, angles_dev in pending:
-                out = np.asarray(jax.device_get(out_dev))
-                angles = (np.asarray(jax.device_get(angles_dev))
-                          if angles_dev is not None else None)
-                for j, task in enumerate(chunk):
-                    try:
-                        img_np = out[j]
-                        if angles is not None:
-                            # crop static canvas to the exact PIL-expanded size
-                            h0, w0 = shape[0], shape[1]
-                            ew, eh = pil_expanded_size(
-                                float(angles[j]), w0, h0)
-                            ch, cw = img_np.shape[0], img_np.shape[1]
-                            top = max((ch - eh) // 2, 0)
-                            left = max((cw - ew) // 2, 0)
-                            img_np = img_np[top:top + eh, left:left + ew]
-                        write_jpeg(task.output_path, img_np)
-                        completed += 1
-                    except Exception as exc:
-                        LOGGER.error("Failed: %s (%s)", task.output_path, exc)
-                        failed += 1
-                    if (completed + failed) % 500 == 0:
-                        LOGGER.info(
-                            "Progress: %d/%d (%.1f%%) - %d success, %d failed",
-                            completed + failed, total,
-                            100.0 * (completed + failed) / max(total, 1),
-                            completed, failed)
+                if len(pending) > PIPELINE_DEPTH:
+                    collect_one()
+        while pending:
+            collect_one()
         LOGGER.info("Augmentation complete: %d images generated, %d failed",
                     completed, failed)
         return completed, failed
