@@ -30,8 +30,15 @@ HUE_KEYS = ("Vert (35-85°)", "Jaune/Orange (15-35°)",
 _PIE_COLORS = ["#4CAF50", "#FFC107", "#F44336", "#9C27B0", "#607D8B"]
 
 
+_stats_jit = None
+
+
 def _device_stats(rgb):
-    """One jitted pass → all statistics the figure needs."""
+    """One jitted pass → all statistics the figure needs. The jitted callable
+    is module-cached so repeated calls (folder mode) don't re-trace."""
+    global _stats_jit
+    if _stats_jit is not None:
+        return _stats_jit(rgb)
     import jax
     import jax.numpy as jnp
 
@@ -83,7 +90,8 @@ def _device_stats(rgb):
 
         return color, h_hist, s_hist, v_hist, hue_counts, jnp.sum(mask)
 
-    return stats(rgb)
+    _stats_jit = stats
+    return _stats_jit(rgb)
 
 
 def histogram_filter(rgb: np.ndarray, cfg: TransformConfig) -> np.ndarray:

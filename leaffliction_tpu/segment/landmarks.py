@@ -29,9 +29,16 @@ COL_VEIN = (0, 0, 255)
 COL_DISEASE = (139, 69, 19)
 
 
+_vein_jit = None
+
+
 def _vein_device(rgb, mask_bool, max_corners: int):
     import jax
     import jax.numpy as jnp
+
+    global _vein_jit
+    if _vein_jit is not None:
+        return _vein_jit(jnp.asarray(rgb), jnp.asarray(mask_bool), max_corners)
 
     from leaffliction_tpu.ops.clahe import clahe
     from leaffliction_tpu.ops.colorspace import rgb_to_gray
@@ -63,7 +70,8 @@ def _vein_device(rgb, mask_bool, max_corners: int):
             quality_level=0.002, min_distance=2, block_size=3)
         return ys, xs, valid, edges_d
 
-    return run(jnp.asarray(rgb), jnp.asarray(mask_bool), max_corners)
+    _vein_jit = run
+    return _vein_jit(jnp.asarray(rgb), jnp.asarray(mask_bool), max_corners)
 
 
 def landmarks_filter(
