@@ -92,3 +92,24 @@ def test_image_io_helpers(tmp_path):
     assert files == [path]
     norm = ImageTransforms.normalize_array(arr)
     assert norm.dtype == np.float32 and norm.max() <= 1.0
+
+
+def test_dryrun_multichip_4():
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(4)
+
+
+def test_batch_larger_than_dataset(tiny_dataset):
+    from leaffliction_tpu.data.loader import BatchIterator, ImageStore
+    from leaffliction_tpu.data.manifest import build_label_mapping
+    from leaffliction_tpu.data.scan import scan_dataset
+
+    items = scan_dataset(tiny_dataset)[:5]
+    store = ImageStore(items, build_label_mapping(items), 32)
+    it = BatchIterator(store, batch_size=64, shuffle=True, seed=0)
+    assert it.steps_per_epoch() == 1
+    batches = list(it.epoch(0))
+    assert len(batches) == 1
+    assert batches[0].images.shape[0] == 64  # padded to static batch
+    assert batches[0].mask.sum() == 5
