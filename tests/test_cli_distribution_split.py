@@ -52,3 +52,35 @@ def test_split_cli(tiny_dataset, tmp_path):
     m2 = json.loads((out2 / "manifest_split.json").read_text())
     assert [i["split"] for i in m2["items"]] == \
         [i["split"] for i in manifest["items"]]
+
+
+def test_predict_input_validation(tmp_path):
+    import pytest
+
+    from leaffliction_tpu.cli import predict as predict_cli
+
+    img = tmp_path / "x.jpg"
+    img.write_bytes(b"\xff\xd8fake")
+    # missing learnings dir
+    with pytest.raises(SystemExit) as exc:
+        predict_cli.main([str(img), "--learnings-dir", str(tmp_path / "none")])
+    assert exc.value.code == 1
+    # batch mode on a file
+    with pytest.raises(SystemExit):
+        predict_cli.main([str(img), "--batch-mode",
+                          "--learnings-dir", str(tmp_path / "none")])
+    # evaluate without manifest
+    (tmp_path / "models").mkdir()
+    (tmp_path / "models" / "meta.json").write_text("{}")
+    d = tmp_path / "imgs"
+    d.mkdir()
+    with pytest.raises(SystemExit):
+        predict_cli.main([str(d), "--batch-mode", "--evaluate",
+                          "--learnings-dir", str(tmp_path / "models")])
+
+
+def test_train_missing_manifest_logs_and_returns(tmp_path, caplog):
+    from leaffliction_tpu.cli import train as train_cli
+
+    train_cli.main(["--manifest", str(tmp_path / "nope.json")])
+    # returns without raising (reference behavior: log + return)
