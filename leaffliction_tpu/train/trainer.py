@@ -90,23 +90,32 @@ def evaluate(
     state: TrainState,
     val_iter: BatchIterator,
     use_ema: bool = False,
+    collect_preds: bool = True,
 ) -> Tuple[float, float, np.ndarray, np.ndarray]:
-    """→ (loss, accuracy, y_true, y_pred) over the full (masked) val set."""
+    """→ (loss, accuracy, y_true, y_pred) over the full (masked) val set.
+
+    All batches are dispatched before any result is fetched (one sync at the
+    end, not one RTT per batch). Per-epoch callers pass collect_preds=False —
+    predictions are only needed for the final confusion matrix."""
     eval_fn = step_fns.eval_step_ema if use_ema else step_fns.eval_step
+    pending = []
+    for batch in prefetch_to_device(val_iter.epoch(0), step_fns.mesh):
+        metrics, preds = eval_fn(state, batch.images, batch.labels, batch.mask)
+        pending.append((metrics, preds if collect_preds else None, batch))
+
     loss_sum = 0.0
     correct = 0.0
     n = 0.0
     ys, ps = [], []
-    for batch in prefetch_to_device(val_iter.epoch(0), step_fns.mesh):
-        metrics, preds = eval_fn(state, batch.images, batch.labels, batch.mask)
+    for metrics, preds, batch in pending:
         metrics = jax.device_get(metrics)
-        preds = np.asarray(jax.device_get(preds))
         loss_sum += float(metrics["loss_sum"])
         correct += float(metrics["correct"])
         n += float(metrics["n"])
-        keep = np.asarray(batch.mask) > 0
-        ys.append(np.asarray(batch.labels)[keep])
-        ps.append(preds[keep])
+        if preds is not None:
+            keep = np.asarray(batch.mask) > 0
+            ys.append(np.asarray(batch.labels)[keep])
+            ps.append(np.asarray(jax.device_get(preds))[keep])
     n = max(n, 1.0)
     y_true = np.concatenate(ys) if ys else np.zeros((0,), np.int32)
     y_pred = np.concatenate(ps) if ps else np.zeros((0,), np.int32)
@@ -159,6 +168,10 @@ def fit(
         ep_loss = 0.0
         ep_correct = 0.0
         ep_n = 0.0
+        # Metrics stay on device until epoch end — fetching per step costs
+        # one sync round-trip per step (30-140 ms on tunneled links) and
+        # serializes the async dispatch pipeline.
+        pending_metrics = []
         for i, batch in enumerate(
                 prefetch_to_device(train_iter.epoch(epoch), step_fns.mesh)):
             key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
@@ -166,17 +179,20 @@ def fit(
                 state, batch.images, batch.labels, batch.mask, key
             )
             steps_ran += 1
-            metrics = jax.device_get(metrics)
+            pending_metrics.append(metrics)
+            if log_every and steps_ran % log_every == 0:
+                m = jax.device_get(metrics)
+                LOGGER.info("step %d: loss=%.4f lr=%.2e", steps_ran,
+                            float(m["loss"]), float(m["lr"]))
+        for metrics in jax.device_get(pending_metrics):
             bn = float(metrics["n"])
             ep_loss += float(metrics["loss"]) * bn
             ep_correct += float(metrics["correct"])
             ep_n += bn
             images_seen += bn
-            if log_every and steps_ran % log_every == 0:
-                LOGGER.info("step %d: loss=%.4f lr=%.2e", steps_ran,
-                            float(metrics["loss"]), float(metrics["lr"]))
 
-        val_loss, val_acc, _, _ = evaluate(step_fns, state, val_iter)
+        val_loss, val_acc, _, _ = evaluate(step_fns, state, val_iter,
+                                            collect_preds=False)
         ep_n = max(ep_n, 1.0)
         history["loss"].append(ep_loss / ep_n)
         history["accuracy"].append(ep_correct / ep_n)
@@ -222,11 +238,13 @@ def fit(
     train_time = time.perf_counter() - t0
 
     # base-vs-EMA winner selection (`srcs/train/utils.py:84-93`)
-    _, base_acc, _, _ = evaluate(step_fns, state, val_iter, use_ema=False)
+    _, base_acc, _, _ = evaluate(step_fns, state, val_iter, use_ema=False,
+                                 collect_preds=False)
     best_variant = "base"
     best_acc = base_acc
     if cfg.ema_decay > 0:
-        _, ema_acc, _, _ = evaluate(step_fns, state, val_iter, use_ema=True)
+        _, ema_acc, _, _ = evaluate(step_fns, state, val_iter, use_ema=True,
+                                    collect_preds=False)
         if float(ema_acc) > float(base_acc):
             best_variant = "ema"
             best_acc = ema_acc
