@@ -199,12 +199,21 @@ class TransformPipeline:
         return histogram_filter(rgb, self.cfg)
 
 
-def process_single_image(params: ProcessArgs) -> List[Path]:
-    try:
-        rgb = pil_read_rgb(params.img_path)
-    except Exception as exc:
-        LOGGER.error("Failed to read %s (%s)", params.img_path, exc)
-        return []
+def process_single_image(params: ProcessArgs, rgb=None,
+                         precomputed_mask=None) -> List[Path]:
+    """Run the selected filters for one image.
+
+    `precomputed_mask` is an optional (mask, contour) pair — folder mode
+    computes masks for the whole directory in device batches first (the
+    TPU-native counterpart of the reference's mp.Pool fan-out) and passes
+    them here so the per-image pass never re-runs segmentation.
+    """
+    if rgb is None:
+        try:
+            rgb = pil_read_rgb(params.img_path)
+        except Exception as exc:
+            LOGGER.error("Failed to read %s (%s)", params.img_path, exc)
+            return []
 
     pipe = TransformPipeline(params.cfg)
     saved: List[Path] = []
@@ -218,7 +227,11 @@ def process_single_image(params: ProcessArgs) -> List[Path]:
     masked_rgb = rgb
     if set(params.types) & {"Mask", "ROI", "Analyze", "Landmarks", "Brown",
                             "Blur"}:
-        mask_img, contour = pipe.make_mask(rgb)
+        if precomputed_mask is not None:
+            mask_img, contour = precomputed_mask
+            pipe.make_mask = lambda _rgb: (mask_img, contour)  # reuse below
+        else:
+            mask_img, contour = pipe.make_mask(rgb)
         if mask_img is not None:
             masked_rgb = pipe.create_masked_rgb(rgb, mask_img)
 
@@ -292,6 +305,66 @@ def process_single_image(params: ProcessArgs) -> List[Path]:
     return saved
 
 
+def _precompute_masks_batched(imgs: List[Path], cfg: TransformConfig,
+                              device_batch: int = 16):
+    """Folder-mode mask fan-out: decode on threads, segment in device
+    batches grouped by shape, trace contours on host.
+
+    GrabCut refinement is skipped on this path (host-per-image; the batched
+    scorer already picked the best candidate) — single-image mode keeps it.
+    """
+    import concurrent.futures as cf
+
+    import jax
+    import jax.numpy as jnp
+
+    from leaffliction_tpu.segment.contours import largest_contour_points
+    from leaffliction_tpu.segment.mask import make_mask_batch
+
+    decoded: Dict[Path, np.ndarray] = {}
+
+    def _decode(p: Path) -> None:
+        try:
+            decoded[p] = pil_read_rgb(p)
+        except Exception as exc:
+            LOGGER.error("Failed to read %s (%s)", p, exc)
+
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(_decode, imgs))
+
+    by_shape: Dict[tuple, List[Path]] = {}
+    for p, arr in decoded.items():
+        by_shape.setdefault(arr.shape, []).append(p)
+
+    masks: Dict[Path, tuple] = {}
+    for shape, paths in by_shape.items():
+        h, w = shape[0], shape[1]
+        # same upscale policy as the single-image path (`mask.py:29-50`)
+        s = 1.0
+        if cfg.mask_upscale_factor and cfg.mask_upscale_factor > 1.0:
+            s = float(cfg.mask_upscale_factor)
+        elif cfg.mask_upscale_long_side and max(h, w) < cfg.mask_upscale_long_side:
+            s = cfg.mask_upscale_long_side / max(h, w)
+        wh, ww = int(round(h * s)), int(round(w * s))
+        for start in range(0, len(paths), device_batch):
+            chunk = paths[start:start + device_batch]
+            batch = np.stack([decoded[p] for p in chunk]).astype(np.float32)
+            dev = jnp.asarray(batch)
+            if abs(s - 1.0) > 1e-6:
+                dev = jax.image.resize(dev, (dev.shape[0], wh, ww, 3), "cubic")
+            mask_dev, _ = make_mask_batch(dev, cfg)
+            if abs(s - 1.0) > 1e-6:
+                mask_dev = jax.image.resize(
+                    mask_dev.astype(jnp.float32),
+                    (mask_dev.shape[0], h, w), "nearest") > 0.5
+            mask_np = np.asarray(jax.device_get(mask_dev))
+            for p, m in zip(chunk, mask_np):
+                mask_u8 = (m > 0).astype(np.uint8) * 255
+                masks[p] = (mask_u8, largest_contour_points(m))
+    LOGGER.info("Precomputed %d masks in device batches", len(masks))
+    return decoded, masks
+
+
 def iter_images_in_dir(src: Path):
     for p in sorted(src.rglob("*")):
         if is_image(p):
@@ -359,10 +432,19 @@ def main(argv=None) -> None:
             return
         LOGGER.info("Found %d images in %s", len(imgs), src)
         total_saved = 0
+        needs_mask = bool(set(types) & {"Mask", "ROI", "Analyze", "Landmarks",
+                                        "Brown", "Blur"})
+        decoded: Dict[Path, np.ndarray] = {}
+        masks: Dict[Path, tuple] = {}
+        if needs_mask:
+            decoded, masks = _precompute_masks_batched(imgs, cfg)
         for img_path in imgs:
-            total_saved += len(process_single_image(ProcessArgs(
-                img_path=img_path, out_dir=dst, types=types, cfg=cfg,
-                skip_existing=args.skip_existing, overwrite=args.overwrite)))
+            total_saved += len(process_single_image(
+                ProcessArgs(img_path=img_path, out_dir=dst, types=types,
+                            cfg=cfg, skip_existing=args.skip_existing,
+                            overwrite=args.overwrite),
+                rgb=decoded.get(img_path),
+                precomputed_mask=masks.get(img_path)))
         LOGGER.info("Processed %d images, saved %d outputs",
                     len(imgs), total_saved)
         return
