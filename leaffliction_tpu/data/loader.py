@@ -197,10 +197,15 @@ def apply_training_transform(store: ImageStore, cfg=None,
                                  grabcut_refine=False)
 
     @jax.jit
-    def _transform(imgs):
-        masks, _ = make_mask_batch(imgs.astype(jnp.float32), cfg)
+    def _apply(imgs, masks):
         out = apply_mask_white(imgs, masks)
         return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+    def _transform(imgs):
+        # make_mask_batch is host-orchestrated (deferred fallback) and
+        # internally jitted — it must not be traced inside another jit
+        masks, _ = make_mask_batch(jnp.asarray(imgs, jnp.float32), cfg)
+        return _apply(jnp.asarray(imgs), masks)
 
     n = len(store.images)
     for start in range(0, n, device_batch):

@@ -381,10 +381,7 @@ def _candidates_for(rgb: Array, cfg: TransformConfig):
     return out
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def make_mask_core(rgb: Array, cfg: TransformConfig) -> Tuple[Array, Array]:
-    """Candidates → postprocess → score → best → shadow → brown-extend.
-    → (mask bool HW, score). GrabCut (host) is applied by the caller."""
+def _make_mask_no_fallback(rgb: Array, cfg: TransformConfig) -> Tuple[Array, Array]:
     rgb = rgb.astype(jnp.float32)
     cands = _candidates_for(rgb, cfg)
     processed = [postprocess_mask(c, cfg) for c in cands]
@@ -398,7 +395,14 @@ def make_mask_core(rgb: Array, cfg: TransformConfig) -> Tuple[Array, Array]:
         sc2 = score_mask(shadowless, rgb, cfg)
         best = jnp.where(sc2 >= best_score, shadowless, best)
         best_score = jnp.maximum(sc2, best_score)
+    return best, best_score
 
+
+@partial(jax.jit, static_argnames=("cfg",))
+def make_mask_core(rgb: Array, cfg: TransformConfig) -> Tuple[Array, Array]:
+    """Candidates → postprocess → score → best → shadow → brown-extend.
+    → (mask bool HW, score). GrabCut (host) is applied by the caller."""
+    best, best_score = _make_mask_no_fallback(rgb, cfg)
     # fallback when nothing scored — lax.cond so the Otsu+postprocess branch
     # only executes on the (rare) failure path
     best = jax.lax.cond(
@@ -406,9 +410,14 @@ def make_mask_core(rgb: Array, cfg: TransformConfig) -> Tuple[Array, Array]:
         lambda: fallback_mask(rgb, cfg),
         lambda: best,
     )
-
     best = extend_with_brown(best, rgb, cfg)
     return best, best_score
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _fallback_extend_core(rgb: Array, cfg: TransformConfig) -> Array:
+    rgb = rgb.astype(jnp.float32)
+    return extend_with_brown(fallback_mask(rgb, cfg), rgb, cfg)
 
 
 def _grabcut_refine_host(mask_np: np.ndarray, rgb_np: np.ndarray) -> Optional[np.ndarray]:
@@ -478,10 +487,33 @@ def make_mask(rgb: np.ndarray, cfg: TransformConfig | None = None
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def _make_mask_batch_main(imgs: Array, cfg: TransformConfig):
+    return jax.vmap(lambda x: _make_mask_no_fallback(x, cfg))(imgs)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _extend_batch(masks: Array, imgs: Array, cfg: TransformConfig) -> Array:
+    return jax.vmap(
+        lambda m, x: extend_with_brown(m, x.astype(jnp.float32), cfg)
+    )(masks, imgs)
+
+
 def make_mask_batch(imgs: Array, cfg: TransformConfig) -> Tuple[Array, Array]:
     """Batched masks for the training/serving hot path (no host refinement):
-    N×H×W×3 → (N×H×W bool, N scores)."""
-    return jax.vmap(lambda x: make_mask_core(x, cfg))(imgs)
+    N×H×W×3 → (N×H×W bool, N scores).
+
+    The Otsu fallback is deferred OUT of the vmapped program: under vmap a
+    `lax.cond` executes both branches for every image, so the (rare) failure
+    path would cost ~20% of the batch. Instead, failures are detected from
+    the scores and re-run per-image on the fallback path.
+    """
+    masks, scores = _make_mask_batch_main(imgs, cfg)
+    extended = _extend_batch(masks, imgs, cfg)
+    failed = np.nonzero(np.asarray(jax.device_get(scores)) <= 0.0)[0]
+    for i in failed:
+        extended = extended.at[int(i)].set(
+            _fallback_extend_core(imgs[int(i)], cfg))
+    return extended, scores
 
 
 def apply_mask_white(img: Array, mask: Array) -> Array:
