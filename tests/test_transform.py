@@ -208,3 +208,18 @@ def test_transform_cli_folder(leaf_img, tmp_path, monkeypatch):
     files = {p.name for p in (tmp_path / "dstdir").iterdir()}
     assert "img0__T_Mask.jpg" in files
     assert "img1__T_Mask.jpg" in files
+
+
+def test_mask_batch_matches_core(leaf_img, cfg):
+    """The batched path (deferred fallback) must equal per-image core."""
+    import jax.numpy as jnp
+
+    from leaffliction_tpu.segment.mask import make_mask_batch, make_mask_core
+
+    imgs = np.stack([leaf_img, leaf_img[::-1].copy()]).astype(np.float32)
+    batch_masks, batch_scores = make_mask_batch(jnp.asarray(imgs), cfg)
+    for i in range(2):
+        core_mask, core_score = make_mask_core(jnp.asarray(imgs[i]), cfg)
+        assert np.array_equal(np.asarray(batch_masks[i]),
+                              np.asarray(core_mask)), i
+        assert float(batch_scores[i]) == pytest.approx(float(core_score))
