@@ -45,6 +45,15 @@ def prefetch_to_device(batches, mesh, lookahead: int = 2):
     from leaffliction_tpu.data.loader import Batch
     from leaffliction_tpu.parallel.mesh import batch_sharding
 
+    multi_host = jax.process_count() > 1
+
+    def _shard(x, ndim):
+        if multi_host:
+            # each host holds only its local slice of the global batch
+            return jax.make_array_from_process_local_data(
+                batch_sharding(mesh, ndim), x)
+        return jax.device_put(x, batch_sharding(mesh, ndim))
+
     def _put(b: "Batch") -> "Batch":
         if mesh.size == 1:
             return Batch(images=jax.device_put(b.images),
@@ -52,9 +61,9 @@ def prefetch_to_device(batches, mesh, lookahead: int = 2):
                          mask=jax.device_put(b.mask),
                          indices=b.indices)
         return Batch(
-            images=jax.device_put(b.images, batch_sharding(mesh, 4)),
-            labels=jax.device_put(b.labels, batch_sharding(mesh, 1)),
-            mask=jax.device_put(b.mask, batch_sharding(mesh, 1)),
+            images=_shard(b.images, 4),
+            labels=_shard(b.labels, 1),
+            mask=_shard(b.mask, 1),
             indices=b.indices,
         )
 
