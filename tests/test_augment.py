@@ -152,3 +152,24 @@ def test_augment_cli_dataset_balances(tiny_dataset, tmp_path, monkeypatch):
     aug_items = [i for i in manifest["items"] if i["augmented"]]
     assert all("_aug_" in Path(i["src"]).stem for i in aug_items)
     assert (tmp_path / "artifacts/distribution/balanced_distribution.csv").exists()
+
+
+def test_rotate_batch_matches_pil_at_sampled_angles(imgs):
+    """End-to-end parity: for whatever angle the kernel sampled, the cropped
+    canvas must match PIL rotate(expand=True, white) within tolerance."""
+    keys = keys_for(4, seed=21)
+    out, angles = BATCH_KERNELS["rotate"](keys, imgs)
+    out = np.asarray(out)
+    for i, angle in enumerate(np.asarray(angles)):
+        ew, eh = pil_expanded_size(float(angle), 48, 48)
+        ch, cw = out.shape[1], out.shape[2]
+        top, left = max((ch - eh) // 2, 0), max((cw - ew) // 2, 0)
+        ours = out[i, top:top + eh, left:left + ew].astype(np.float32)
+        ref = np.asarray(Image.fromarray(imgs[i]).rotate(
+            float(angle), resample=Image.BILINEAR, expand=True,
+            fillcolor=(255, 255, 255))).astype(np.float32)
+        assert ours.shape == ref.shape
+        m = 6
+        diff = np.abs(ours[m:-m, m:-m] - ref[m:-m, m:-m])
+        frac_close = (diff <= 20).mean()
+        assert frac_close > 0.93, (i, float(angle), frac_close)
