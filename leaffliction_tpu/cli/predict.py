@@ -223,9 +223,13 @@ def _handle_batch_mode(args, predictor, image_path: Path) -> None:
         LOGGER.error("No images found or processed successfully.")
         sys.exit(1)
     summary = create_batch_summary(results, proc_time)
-    LOGGER.info("Batch Processing Summary: %d images in %s, avg conf %s",
-                summary["total_images"], summary["processing_time"],
-                summary["average_confidence"])
+    LOGGER.info("Batch Processing Summary:")
+    LOGGER.info("  Total images processed: %d", summary["total_images"])
+    LOGGER.info("  Processing time: %s", summary["processing_time"])
+    LOGGER.info("  Average confidence: %s", summary["average_confidence"])
+    LOGGER.info("Prediction distribution:")
+    for pred, count in summary["prediction_distribution"].items():
+        LOGGER.info("  %s: %d images", pred, count)
     if args.json_output:
         out = save_batch_results_json(results, proc_time, args.json_output)
         LOGGER.info("Results saved to: %s", out)
