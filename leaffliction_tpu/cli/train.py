@@ -176,7 +176,12 @@ def main(argv=None) -> None:
         model = build_resnet(num_classes=num_classes, preset=args.arch,
                              use_norm=not args.no_normalization, dtype=dtype)
 
-    mesh = make_mesh(MeshSpec(data=args.mesh_data, model=args.mesh_model))
+    try:
+        mesh = make_mesh(MeshSpec(data=args.mesh_data, model=args.mesh_model))
+    except ValueError as exc:
+        LOGGER.error("Invalid mesh for %d visible device(s): %s",
+                     len(jax.devices()), exc)
+        return
     LOGGER.info("Mesh: %s over %d %s device(s)", dict(mesh.shape),
                 mesh.size, jax.devices()[0].device_kind)
 
