@@ -84,3 +84,17 @@ def test_train_missing_manifest_logs_and_returns(tmp_path, caplog):
 
     train_cli.main(["--manifest", str(tmp_path / "nope.json")])
     # returns without raising (reference behavior: log + return)
+
+
+def test_train_invalid_mesh_clean_error(tiny_dataset, tmp_path):
+    from leaffliction_tpu.cli import split as split_cli
+    from leaffliction_tpu.cli import train as train_cli
+
+    out = tmp_path / "ds"
+    split_cli.main(["--src", str(tiny_dataset), "--out", str(out),
+                    "--val-ratio", "0.25", "--seed", "32"])
+    # 16 devices requested, 8 virtual available → clean log + return
+    train_cli.main(["--manifest", str(out / "manifest_split.json"),
+                    "--epochs", "1", "--img-size", "32", "--scale", "tiny",
+                    "--mesh-data", "16", "--out-dir", str(tmp_path / "m")])
+    assert not (tmp_path / "m" / "meta.json").exists()
