@@ -167,8 +167,12 @@ def run_sampling_enforced_batch(
         proc_time = time.time() - start
         if not results:
             continue
+        # Pair by path: predict_batch skips unreadable images, so a
+        # positional zip would misalign every pair after the first skip.
+        label_by_path = {str(p): lab for p, lab in zip(paths, labels)}
         correct = sum(
-            1 for r, lab in zip(results, labels) if r["top_prediction"] == lab
+            1 for r in results
+            if r["top_prediction"] == label_by_path.get(str(r["image_path"]))
         )
         acc = correct / len(results)
         LOGGER.info("Sample accuracy: %.4f on %d images", acc, len(results))
@@ -180,9 +184,12 @@ def run_sampling_enforced_batch(
                 LOGGER.info("Results saved to: %s", out)
             try:
                 evaluator = PredictionEvaluator(predictor)
+                # reuse this attempt's predictions — the reference re-predicts
+                # the same sample inside its evaluator (SURVEY §3.5 pathology)
                 eval_metrics = evaluator.evaluate_predictions(
                     paths, labels,
                     output_dir=output_dir / "evaluation",
+                    predictions=results,
                 )
             except Exception as exc:
                 LOGGER.warning("Detailed evaluation failed: %s", exc)

@@ -136,12 +136,21 @@ def main(argv=None) -> None:
     LOGGER.info("Mode: %s -> %s", "FAST" if args.fast else "REGULARIZED",
                 cfg.as_dict())
 
+    pad_to_steps = None
     if jax.process_count() > 1:
-        from leaffliction_tpu.data.loader import items_for_process
+        from leaffliction_tpu.data.loader import (
+            global_steps_per_epoch,
+            items_for_process,
+        )
 
+        # Same collective step count on every host regardless of shard size
+        # (stride shards differ by up to 1 item; decode failures vary too).
+        pad_to_steps = global_steps_per_epoch(len(train_items),
+                                              args.batch_size)
         train_items = items_for_process(train_items)
-        LOGGER.info("Host %d/%d loads %d train items", jax.process_index(),
-                    jax.process_count(), len(train_items))
+        LOGGER.info("Host %d/%d loads %d train items (%d steps/epoch)",
+                    jax.process_index(), jax.process_count(),
+                    len(train_items), pad_to_steps)
 
     t_load = time.perf_counter()
     train_store = ImageStore(train_items, label2idx, args.img_size)
@@ -160,7 +169,7 @@ def main(argv=None) -> None:
                     time.perf_counter() - t_tf)
 
     train_iter = BatchIterator(train_store, args.batch_size, shuffle=True,
-                               seed=args.seed)
+                               seed=args.seed, pad_to_steps=pad_to_steps)
     val_iter = BatchIterator(val_store, args.batch_size, shuffle=False)
 
     dtype = jnp.float32 if args.no_mixed_precision else jnp.bfloat16

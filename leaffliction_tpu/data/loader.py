@@ -129,20 +129,50 @@ class BatchIterator:
         shuffle: bool,
         seed: int = 0,
         drop_remainder: bool = False,
+        pad_to_steps: Optional[int] = None,
     ) -> None:
+        """`pad_to_steps` fixes the number of batches per epoch regardless of
+        local data volume, padding with zero-mask batches. Multi-host training
+        requires it: the jitted train step is a global collective, so every
+        host MUST execute the same step count per epoch — stride-sharded item
+        lists can differ by one item across hosts, and a per-host ceil-divide
+        would hang the slice (one host enters a collective the others skip).
+        Derive it from the GLOBAL item count via `global_steps_per_epoch`."""
         self.store = store
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
+        self.pad_to_steps = pad_to_steps
 
     def steps_per_epoch(self) -> int:
+        if self.pad_to_steps is not None:
+            return self.pad_to_steps
         n = len(self.store.valid_indices)
         if self.drop_remainder:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[Batch]:
+        bs = self.batch_size
+        yielded = 0
+        for batch in self._local_epoch(epoch_idx):
+            if self.pad_to_steps is not None and yielded >= self.pad_to_steps:
+                break
+            yielded += 1
+            yield batch
+        if self.pad_to_steps is not None:
+            size = self.store.img_size
+            while yielded < self.pad_to_steps:
+                yielded += 1
+                yield Batch(
+                    images=np.zeros((bs, size, size, 3), np.uint8),
+                    labels=np.zeros((bs,), np.int32),
+                    mask=np.zeros((bs,), np.float32),
+                    indices=np.full((bs,), -1, np.int32),
+                )
+
+    def _local_epoch(self, epoch_idx: int = 0) -> Iterator[Batch]:
         idx = self.store.valid_indices.copy()
         if self.shuffle:
             rng = np.random.default_rng(self.seed + epoch_idx)
@@ -161,7 +191,11 @@ class BatchIterator:
         if not self.drop_remainder and end < len(idx):
             sel = idx[end:]
             pad = bs - len(sel)
-            sel_pad = np.concatenate([sel, np.zeros((pad,), np.int32)])
+            # Pad with wrap-around items from this epoch's permutation rather
+            # than repeats of one image: padding is masked out of the loss but
+            # still enters BatchNorm batch statistics, and bs-1 copies of a
+            # single image would bias the running stats on small datasets.
+            sel_pad = np.concatenate([sel, np.resize(idx, pad)]).astype(np.int32)
             mask = np.concatenate(
                 [np.ones((len(sel),), np.float32), np.zeros((pad,), np.float32)]
             )
@@ -236,6 +270,27 @@ def apply_training_transform(store: ImageStore, cfg=None,
             Image.fromarray(store.images[i]).save(
                 out_dir / f"preview_{i}.jpg", quality=95)
         LOGGER.info("Saved transform previews to %s", out_dir)
+
+
+def global_steps_per_epoch(global_item_count: int, batch_size: int,
+                           process_count: Optional[int] = None) -> int:
+    """Steps per epoch every host must run, from the GLOBAL item count.
+
+    With stride sharding (`items_for_process`) the largest per-host shard is
+    ceil(N / P); each host then needs ceil(ceil(N/P) / B) padded batches.
+    Hosts whose shard (or decode-valid subset) is smaller pad with zero-mask
+    batches via `BatchIterator(pad_to_steps=...)`, keeping the collective
+    step count — and the cosine schedule's total_steps — identical on every
+    host."""
+    import math
+
+    pc = process_count
+    if pc is None:
+        import jax
+
+        pc = jax.process_count()
+    per_host = math.ceil(global_item_count / max(pc, 1))
+    return max(1, math.ceil(per_host / batch_size))
 
 
 def items_for_process(items, process_index: Optional[int] = None,

@@ -113,5 +113,16 @@ def encode(path: str, rgb: np.ndarray, quality: int = 95) -> None:
 
 
 def decode_resize_native(path: str, img_size: int) -> np.ndarray:
-    """Loader-compatible decode_fn (same signature as decode_resize_pil)."""
-    return decode_resize(path, img_size)
+    """Loader-compatible decode_fn (same signature as decode_resize_pil).
+
+    Falls back to PIL per image on native-decode failure: libjpeg raises on
+    non-JPEG inputs (e.g. the .png files the predict CLI globs), which the
+    reference's PIL path handles fine — a skip here would be a behavioral
+    regression (and would misalign downstream evaluation pairing).
+    """
+    try:
+        return decode_resize(path, img_size)
+    except Exception:
+        from leaffliction_tpu.data.loader import decode_resize_pil
+
+        return decode_resize_pil(path, img_size)

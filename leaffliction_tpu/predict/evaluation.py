@@ -27,12 +27,26 @@ class PredictionEvaluator:
         image_paths: Sequence[Path],
         true_labels: Sequence[str],
         output_dir: Optional[Path] = None,
+        predictions: Optional[List[Dict]] = None,
     ) -> Dict[str, float]:
+        """Score predictions against ground truth.
+
+        Predictions are paired to labels BY IMAGE PATH, not position:
+        `predict_batch` skips unreadable images, so a positional zip (the
+        reference's approach, `srcs/predict/evaluation.py:40-52`) misaligns
+        every pair after the first skip. Pass `predictions` to reuse an
+        existing `predict_batch` result instead of re-predicting (the
+        reference predicts the same sample twice, `srcs/cli/predict.py:305-388`).
+        """
         if len(image_paths) != len(true_labels):
             raise ValueError("Number of images must match number of true labels")
         LOGGER.info("Evaluating %d predictions", len(image_paths))
 
-        predictions = self.predictor.predict_batch(image_paths)
+        if predictions is None:
+            predictions = self.predictor.predict_batch(image_paths)
+        truth_by_path = {
+            str(Path(p)): lab for p, lab in zip(image_paths, true_labels)
+        }
         labels = self.predictor.model_loader.labels
         label_to_idx = {lab: i for i, lab in enumerate(labels)}
 
@@ -40,8 +54,13 @@ class PredictionEvaluator:
         y_pred: List[int] = []
         valid: List[Dict] = []
         valid_true: List[str] = []
-        for pred, true_label in zip(predictions, true_labels):
+        for pred in predictions:
+            true_label = truth_by_path.get(str(pred["image_path"]))
             pred_label = pred["top_prediction"]
+            if true_label is None:
+                LOGGER.warning("No ground truth for %s; skipping",
+                               pred["image_path"])
+                continue
             if true_label not in label_to_idx or pred_label not in label_to_idx:
                 LOGGER.warning("Skipping unknown label: %s or %s",
                                true_label, pred_label)

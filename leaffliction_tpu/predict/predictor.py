@@ -108,7 +108,9 @@ class Predictor:
         (`predictor.py:34-80`)."""
         image_path = Path(image_path)
         size = self.model_loader.img_size
-        arr = decode_resize_pil(str(image_path), size)
+        # same decode path as training and predict_batch — single vs batch
+        # mode must yield identical pixels/probabilities for the same image
+        arr = default_decode_fn()(str(image_path), size)
         probs = self._probs_for_arrays(arr[None])[0]
         labels = self.model_loader.labels
         top = int(np.argmax(probs))

@@ -112,6 +112,20 @@ def evaluate(
         metrics, preds = eval_fn(state, batch.images, batch.labels, batch.mask)
         pending.append((metrics, preds if collect_preds else None, batch))
 
+    def _local_preds(preds) -> np.ndarray:
+        """Host-local rows of the (data-sharded) preds array.
+
+        On a multi-host slice the global preds array is not fully addressable
+        per host, so `device_get` on it raises; each host's addressable
+        shards are exactly its local batch rows (placed there by
+        `make_array_from_process_local_data`), which is what the local
+        labels/mask pair with."""
+        if jax.process_count() <= 1:
+            return np.asarray(jax.device_get(preds))
+        shards = sorted(preds.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards])
+
     loss_sum = 0.0
     correct = 0.0
     n = 0.0
@@ -124,7 +138,7 @@ def evaluate(
         if preds is not None:
             keep = np.asarray(batch.mask) > 0
             ys.append(np.asarray(batch.labels)[keep])
-            ps.append(np.asarray(jax.device_get(preds))[keep])
+            ps.append(_local_preds(preds)[keep])
     n = max(n, 1.0)
     y_true = np.concatenate(ys) if ys else np.zeros((0,), np.int32)
     y_pred = np.concatenate(ps) if ps else np.zeros((0,), np.int32)
