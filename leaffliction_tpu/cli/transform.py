@@ -387,7 +387,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="Kept for flag parity; compute is batched on device")
     p.add_argument("--skip-existing", action="store_true")
     p.add_argument("--overwrite", action="store_true")
-    p.add_argument("--preview", action="store_true")
+    p.add_argument("--preview", action="store_true",
+                   help="Force saving outputs and printing their paths "
+                        "(no GUI popups) — for stdout-parsing consumers")
     return p.parse_args(argv)
 
 
@@ -412,9 +414,15 @@ def main(argv=None) -> None:
         out_dir = (Path(args.out_dir) if args.out_dir
                    else Path("artifacts") / "transformations" / image_number)
         out_dir.mkdir(parents=True, exist_ok=True)
+        # --preview contract (reference `Transformation.py:568-608`, consumed
+        # by its predict subprocess): outputs are always (re)written and their
+        # paths printed, so a stdout-parsing caller never sees stale/missing
+        # files. Saving is unconditional here; preview just defeats
+        # --skip-existing.
         saved = process_single_image(ProcessArgs(
             img_path=ip, out_dir=out_dir, types=types, cfg=cfg,
-            skip_existing=args.skip_existing, overwrite=args.overwrite))
+            skip_existing=args.skip_existing and not args.preview,
+            overwrite=args.overwrite or args.preview))
         print(f"Saved {len(saved)} outputs to {out_dir}")
         for s in saved:
             print(f"  - {s}")

@@ -193,6 +193,34 @@ def test_transform_cli_types_filter(leaf_img, tmp_path, monkeypatch):
     assert "leaf__T_Hist.jpg" not in files
 
 
+def test_transform_cli_preview_forces_rewrite(leaf_img, tmp_path, monkeypatch,
+                                              capsys):
+    """--preview must defeat --skip-existing so a stdout-parsing consumer
+    always gets fresh, valid paths (the reference's preview contract)."""
+    from PIL import Image
+
+    from leaffliction_tpu.cli import transform as tf_cli
+
+    monkeypatch.chdir(tmp_path)
+    img_path = tmp_path / "leaf.jpg"
+    Image.fromarray(leaf_img).save(img_path, quality=95)
+    out = tmp_path / "out"
+    tf_cli.main([str(img_path), "--types", "Mask", "--out-dir", str(out)])
+    capsys.readouterr()
+
+    # skip-existing alone: mask output skipped (only the mosaic is rewritten)
+    tf_cli.main([str(img_path), "--types", "Mask", "--out-dir", str(out),
+                 "--skip-existing"])
+    skipped = capsys.readouterr().out
+    assert "leaf__T_Mask.jpg" not in skipped
+
+    # with --preview: the mask path is printed again
+    tf_cli.main([str(img_path), "--types", "Mask", "--out-dir", str(out),
+                 "--skip-existing", "--preview"])
+    previewed = capsys.readouterr().out
+    assert "leaf__T_Mask.jpg" in previewed
+
+
 def test_transform_cli_folder(leaf_img, tmp_path, monkeypatch):
     from PIL import Image
 
