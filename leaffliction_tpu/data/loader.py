@@ -69,7 +69,10 @@ class Batch(NamedTuple):
     images: np.ndarray   # [B, S, S, 3] uint8
     labels: np.ndarray   # [B] int32
     mask: np.ndarray     # [B] float32, 0 for padding
-    indices: np.ndarray  # [B] int32 index into the item list (-1 for padding)
+    indices: np.ndarray  # [B] int32 source row in the store for EVERY slot,
+    #                      including padding rows (mask is the sole validity
+    #                      signal) — the device-resident dataset path gathers
+    #                      batches by these indices instead of shipping pixels
 
 
 class ImageStore:
@@ -169,7 +172,7 @@ class BatchIterator:
                     images=np.zeros((bs, size, size, 3), np.uint8),
                     labels=np.zeros((bs,), np.int32),
                     mask=np.zeros((bs,), np.float32),
-                    indices=np.full((bs,), -1, np.int32),
+                    indices=np.zeros((bs,), np.int32),
                 )
 
     def _local_epoch(self, epoch_idx: int = 0) -> Iterator[Batch]:
@@ -203,9 +206,7 @@ class BatchIterator:
                 images=self.store.images[sel_pad],
                 labels=self.store.labels[sel_pad],
                 mask=mask,
-                indices=np.concatenate(
-                    [sel, np.full((pad,), -1, np.int32)]
-                ),
+                indices=sel_pad,
             )
 
 

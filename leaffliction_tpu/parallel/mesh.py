@@ -53,6 +53,12 @@ def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+def chain_batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for K chained batches [K, B, ...]: the chain (scan) dim is
+    replicated, the batch dim shards over `data`."""
+    return NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

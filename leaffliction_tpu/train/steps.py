@@ -49,11 +49,20 @@ class StepFns:
 
     Batch placement lives in `trainer.prefetch_to_device` (single-device
     `device_put`, or `parallel.mesh.batch_sharding` on a multi-device mesh).
+
+    `train_step_chain` runs K steps over stacked batches [K, B, ...] inside
+    ONE compiled program (`lax.scan` over the single step): on dispatch-bound
+    links (the tunneled dev chip pays ~30-140 ms per dispatch) this amortizes
+    the per-dispatch overhead K-fold, and the K batches ship in one transfer.
     """
 
     train_step: Callable
+    train_step_chain: Callable
+    train_step_gather: Callable
     eval_step: Callable
     eval_step_ema: Callable
+    eval_step_gather: Callable
+    eval_step_ema_gather: Callable
     mesh: Mesh
 
 
@@ -190,6 +199,40 @@ def build_step_fns(
                    "lr": lr}
         return new_state, metrics
 
+    def train_step_chain(state: TrainState, images: Array, labels: Array,
+                         mask: Array, key: Array):
+        """K chained train steps in one program. images [K,B,S,S,3] uint8;
+        returns (state, metrics) with metric leaves stacked [K]. Identical
+        per-step math to `train_step` (schedule advances with state.step;
+        per-step PRNG keys fold the scan index into the chunk key)."""
+
+        def body(st, xs):
+            im, lb, mk, i = xs
+            return train_step(st, im, lb, mk, jax.random.fold_in(key, i))
+
+        idx = jnp.arange(images.shape[0])
+        return jax.lax.scan(body, state, (images, labels, mask, idx))
+
+    def train_step_gather(state: TrainState, data_images: Array,
+                          data_labels: Array, sel: Array, mask: Array,
+                          key: Array):
+        """K chained steps gathering batches from a DEVICE-RESIDENT dataset.
+
+        data_images [N,S,S,3] uint8 / data_labels [N] live in HBM for the
+        whole run; only sel [K,B] int32 + mask [K,B] cross the host→device
+        link per dispatch (~KB instead of ~MB of pixels). This is the
+        single-chip hot path: the relay link is bandwidth-bound, so shipping
+        pixels per step caps throughput regardless of compute speed."""
+
+        def body(st, xs):
+            s, mk, i = xs
+            im = jnp.take(data_images, s, axis=0)
+            lb = jnp.take(data_labels, s, axis=0)
+            return train_step(st, im, lb, mk, jax.random.fold_in(key, i))
+
+        idx = jnp.arange(sel.shape[0])
+        return jax.lax.scan(body, state, (sel, mask, idx))
+
     def _eval(params, batch_stats, state, images, labels, mask):
         x = images.astype(jnp.float32) / 255.0
         logits = model.apply(
@@ -211,25 +254,70 @@ def build_step_fns(
         return _eval(state.ema_params, state.ema_batch_stats, state,
                      images, labels, mask)
 
+    def eval_step_gather(state: TrainState, data_images, data_labels,
+                         sel, mask):
+        im = jnp.take(data_images, sel, axis=0)
+        lb = jnp.take(data_labels, sel, axis=0)
+        return _eval(state.params, state.batch_stats, state, im, lb, mask)
+
+    def eval_step_ema_gather(state: TrainState, data_images, data_labels,
+                             sel, mask):
+        im = jnp.take(data_images, sel, axis=0)
+        lb = jnp.take(data_labels, sel, axis=0)
+        return _eval(state.ema_params, state.ema_batch_stats, state,
+                     im, lb, mask)
+
     if mesh.size == 1:
         # Single chip: plain jit. Sharding-annotated executables take a slow
         # dispatch path on the axon relay platform (~370 ms/step overhead
         # measured with identical step logic) and buy nothing at size 1.
         train_jit = jax.jit(train_step, donate_argnums=(0,))
+        chain_jit = jax.jit(train_step_chain, donate_argnums=(0,))
+        gather_jit = jax.jit(train_step_gather, donate_argnums=(0,))
         eval_jit = jax.jit(eval_step)
         eval_ema_jit = jax.jit(eval_step_ema)
-        return StepFns(train_step=train_jit, eval_step=eval_jit,
-                       eval_step_ema=eval_ema_jit, mesh=mesh)
+        return StepFns(train_step=train_jit, train_step_chain=chain_jit,
+                       train_step_gather=gather_jit,
+                       eval_step=eval_jit, eval_step_ema=eval_ema_jit,
+                       eval_step_gather=jax.jit(eval_step_gather),
+                       eval_step_ema_gather=jax.jit(eval_step_ema_gather),
+                       mesh=mesh)
 
     repl = NamedSharding(mesh, P())
     data4 = NamedSharding(mesh, P("data", None, None, None))
     data1 = NamedSharding(mesh, P("data"))
+    chain4 = NamedSharding(mesh, P(None, "data", None, None, None))
+    chain1 = NamedSharding(mesh, P(None, "data"))
 
     train_jit = jax.jit(
         train_step,
         in_shardings=(repl, data4, data1, data1, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
+    )
+    chain_jit = jax.jit(
+        train_step_chain,
+        in_shardings=(repl, chain4, chain1, chain1, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    # gather path on a mesh: dataset replicated per device, selection
+    # indices sharded over `data` → each device gathers only its rows
+    gather_jit = jax.jit(
+        train_step_gather,
+        in_shardings=(repl, repl, repl, chain1, chain1, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    eval_gather_jit = jax.jit(
+        eval_step_gather,
+        in_shardings=(repl, repl, repl, data1, data1),
+        out_shardings=(repl, data1),
+    )
+    eval_ema_gather_jit = jax.jit(
+        eval_step_ema_gather,
+        in_shardings=(repl, repl, repl, data1, data1),
+        out_shardings=(repl, data1),
     )
     eval_jit = jax.jit(
         eval_step,
@@ -241,5 +329,8 @@ def build_step_fns(
         in_shardings=(repl, data4, data1, data1),
         out_shardings=(repl, data1),
     )
-    return StepFns(train_step=train_jit, eval_step=eval_jit,
-                   eval_step_ema=eval_ema_jit, mesh=mesh)
+    return StepFns(train_step=train_jit, train_step_chain=chain_jit,
+                   train_step_gather=gather_jit,
+                   eval_step=eval_jit, eval_step_ema=eval_ema_jit,
+                   eval_step_gather=eval_gather_jit,
+                   eval_step_ema_gather=eval_ema_gather_jit, mesh=mesh)

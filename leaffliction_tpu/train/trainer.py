@@ -43,16 +43,18 @@ def prefetch_to_device(batches, mesh, lookahead: int = 2):
     from collections import deque
 
     from leaffliction_tpu.data.loader import Batch
-    from leaffliction_tpu.parallel.mesh import batch_sharding
+    from leaffliction_tpu.parallel.mesh import batch_sharding, chain_batch_sharding
 
     multi_host = jax.process_count() > 1
 
-    def _shard(x, ndim):
+    def _shard(x, chained):
+        ndim = x.ndim
+        sharding = (chain_batch_sharding(mesh, ndim) if chained
+                    else batch_sharding(mesh, ndim))
         if multi_host:
             # each host holds only its local slice of the global batch
-            return jax.make_array_from_process_local_data(
-                batch_sharding(mesh, ndim), x)
-        return jax.device_put(x, batch_sharding(mesh, ndim))
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     def _put(b: "Batch") -> "Batch":
         if mesh.size == 1:
@@ -60,10 +62,11 @@ def prefetch_to_device(batches, mesh, lookahead: int = 2):
                          labels=jax.device_put(b.labels),
                          mask=jax.device_put(b.mask),
                          indices=b.indices)
+        chained = b.images.ndim == 5  # [K, B, S, S, 3] chained chunk
         return Batch(
-            images=_shard(b.images, 4),
-            labels=_shard(b.labels, 1),
-            mask=_shard(b.mask, 1),
+            images=_shard(b.images, chained),
+            labels=_shard(b.labels, chained),
+            mask=_shard(b.mask, chained),
             indices=b.indices,
         )
 
@@ -82,6 +85,31 @@ def prefetch_to_device(batches, mesh, lookahead: int = 2):
         yield queue.popleft()
 
 
+def chain_batches(batches, k: int):
+    """Group a batch stream into stacked chains of k (images [k,B,S,S,3]).
+
+    Full groups are stacked for `train_step_chain` (one dispatch, one
+    transfer per k steps); the remainder is yielded as plain batches for the
+    single-step program. With k<=1 the stream passes through untouched."""
+    from leaffliction_tpu.data.loader import Batch
+
+    if k <= 1:
+        yield from batches
+        return
+    buf = []
+    for b in batches:
+        buf.append(b)
+        if len(buf) == k:
+            yield Batch(
+                images=np.stack([x.images for x in buf]),
+                labels=np.stack([x.labels for x in buf]),
+                mask=np.stack([x.mask for x in buf]),
+                indices=np.stack([x.indices for x in buf]),
+            )
+            buf = []
+    yield from buf
+
+
 @dataclasses.dataclass
 class FitResult:
     state: TrainState
@@ -94,23 +122,51 @@ class FitResult:
     images_per_sec: float
 
 
+def put_dataset(store, mesh) -> Tuple[jax.Array, jax.Array]:
+    """Upload a decoded ImageStore to device HBM once (uint8 images +
+    labels); on a multi-device mesh the dataset is replicated per device and
+    gather indices shard over `data`. With the dataset resident, the per-step
+    host→device traffic drops from megabytes of pixels to kilobytes of
+    indices — the decisive win on bandwidth-bound links."""
+    if mesh.size > 1:
+        from leaffliction_tpu.parallel.mesh import replicated
+
+        sharding = replicated(mesh)
+        return (jax.device_put(store.images, sharding),
+                jax.device_put(store.labels, sharding))
+    return jax.device_put(store.images), jax.device_put(store.labels)
+
+
 def evaluate(
     step_fns: StepFns,
     state: TrainState,
     val_iter: BatchIterator,
     use_ema: bool = False,
     collect_preds: bool = True,
+    device_data: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[float, float, np.ndarray, np.ndarray]:
     """→ (loss, accuracy, y_true, y_pred) over the full (masked) val set.
 
     All batches are dispatched before any result is fetched (one sync at the
     end, not one RTT per batch). Per-epoch callers pass collect_preds=False —
-    predictions are only needed for the final confusion matrix."""
-    eval_fn = step_fns.eval_step_ema if use_ema else step_fns.eval_step
+    predictions are only needed for the final confusion matrix.
+    `device_data=(images, labels)` switches to the gather path: batches are
+    selected out of the device-resident dataset by index."""
     pending = []
-    for batch in prefetch_to_device(val_iter.epoch(0), step_fns.mesh):
-        metrics, preds = eval_fn(state, batch.images, batch.labels, batch.mask)
-        pending.append((metrics, preds if collect_preds else None, batch))
+    if device_data is not None:
+        dd_img, dd_lab = device_data
+        eval_fn = (step_fns.eval_step_ema_gather if use_ema
+                   else step_fns.eval_step_gather)
+        for batch in val_iter.epoch(0):
+            metrics, preds = eval_fn(state, dd_img, dd_lab,
+                                     batch.indices, batch.mask)
+            pending.append((metrics, preds if collect_preds else None, batch))
+    else:
+        eval_fn = step_fns.eval_step_ema if use_ema else step_fns.eval_step
+        for batch in prefetch_to_device(val_iter.epoch(0), step_fns.mesh):
+            metrics, preds = eval_fn(state, batch.images, batch.labels,
+                                     batch.mask)
+            pending.append((metrics, preds if collect_preds else None, batch))
 
     def _local_preds(preds) -> np.ndarray:
         """Host-local rows of the (data-sharded) preds array.
@@ -158,14 +214,31 @@ def fit(
     start_epoch: int = 0,
     history: Optional[Dict[str, List[float]]] = None,
     epoch_callback=None,
+    chain_steps: int = 1,
+    device_dataset: bool = False,
 ) -> FitResult:
     """Run the training loop.
 
     `start_epoch`/`history` support mid-run resume (orbax checkpoints — a
     capability the reference lacks, SURVEY §5); `epoch_callback(epoch, state,
     history)` fires after each epoch's eval (checkpoint saving hook).
+    `chain_steps=k` runs k train steps per dispatch via `train_step_chain`
+    (same math; amortizes per-dispatch overhead on slow links).
+    `device_dataset=True` uploads the full uint8 train/val stores to HBM once
+    and drives every step by gather indices — per-step host→device traffic
+    becomes negligible (single-process only: each host's indices refer to its
+    own local store).
     """
     root_key = jax.random.key(seed)
+    gather = device_dataset and jax.process_count() == 1
+    train_dd = val_dd = None
+    if gather:
+        train_dd = put_dataset(train_iter.store, step_fns.mesh)
+        val_dd = put_dataset(val_iter.store, step_fns.mesh)
+        LOGGER.info(
+            "Device-resident dataset: %.0f MB train + %.0f MB val in HBM",
+            train_iter.store.images.nbytes / 1e6,
+            val_iter.store.images.nbytes / 1e6)
     history = history if history is not None else {
         "loss": [], "accuracy": [], "val_loss": [], "val_accuracy": [],
     }
@@ -195,27 +268,51 @@ def fit(
         # one sync round-trip per step (30-140 ms on tunneled links) and
         # serializes the async dispatch pipeline.
         pending_metrics = []
-        for i, batch in enumerate(
-                prefetch_to_device(train_iter.epoch(epoch), step_fns.mesh)):
-            key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
-            state, metrics = step_fns.train_step(
-                state, batch.images, batch.labels, batch.mask, key
-            )
-            steps_ran += 1
+        epoch_key = jax.random.fold_in(root_key, epoch)
+        stream = chain_batches(train_iter.epoch(epoch), chain_steps)
+        if not gather:
+            stream = prefetch_to_device(stream, step_fns.mesh)
+        for i, batch in enumerate(stream):
+            key = jax.random.fold_in(epoch_key, i)
+            chained = batch.images.ndim == 5  # chained chunk [K, B, ...]
+            if gather:
+                # ship only indices; pixels are gathered from HBM in-program.
+                # Remainder batches run as a K=1 chain (same program family).
+                sel = batch.indices if chained else batch.indices[None]
+                mk = batch.mask if chained else batch.mask[None]
+                state, metrics = step_fns.train_step_gather(
+                    state, train_dd[0], train_dd[1], sel, mk, key
+                )
+                k = sel.shape[0]
+            elif chained:
+                state, metrics = step_fns.train_step_chain(
+                    state, batch.images, batch.labels, batch.mask, key
+                )
+                k = batch.images.shape[0]
+            else:
+                state, metrics = step_fns.train_step(
+                    state, batch.images, batch.labels, batch.mask, key
+                )
+                k = 1
+            prev = steps_ran
+            steps_ran += k
             pending_metrics.append(metrics)
-            if log_every and steps_ran % log_every == 0:
+            if log_every and steps_ran // log_every > prev // log_every:
                 m = jax.device_get(metrics)
                 LOGGER.info("step %d: loss=%.4f lr=%.2e", steps_ran,
-                            float(m["loss"]), float(m["lr"]))
+                            float(np.ravel(m["loss"])[-1]),
+                            float(np.ravel(m["lr"])[-1]))
         for metrics in jax.device_get(pending_metrics):
-            bn = float(metrics["n"])
-            ep_loss += float(metrics["loss"]) * bn
-            ep_correct += float(metrics["correct"])
-            ep_n += bn
-            images_seen += bn
+            # metric leaves are scalars (single step) or [K] (chained chunk)
+            bn = np.asarray(metrics["n"], np.float64)
+            ep_loss += float(np.sum(np.asarray(metrics["loss"]) * bn))
+            ep_correct += float(np.sum(metrics["correct"]))
+            ep_n += float(np.sum(bn))
+            images_seen += float(np.sum(bn))
 
         val_loss, val_acc, _, _ = evaluate(step_fns, state, val_iter,
-                                            collect_preds=False)
+                                           collect_preds=False,
+                                           device_data=val_dd)
         ep_n = max(ep_n, 1.0)
         history["loss"].append(ep_loss / ep_n)
         history["accuracy"].append(ep_correct / ep_n)
@@ -262,12 +359,12 @@ def fit(
 
     # base-vs-EMA winner selection (`srcs/train/utils.py:84-93`)
     _, base_acc, _, _ = evaluate(step_fns, state, val_iter, use_ema=False,
-                                 collect_preds=False)
+                                 collect_preds=False, device_data=val_dd)
     best_variant = "base"
     best_acc = base_acc
     if cfg.ema_decay > 0:
         _, ema_acc, _, _ = evaluate(step_fns, state, val_iter, use_ema=True,
-                                    collect_preds=False)
+                                    collect_preds=False, device_data=val_dd)
         if float(ema_acc) > float(base_acc):
             best_variant = "ema"
             best_acc = ema_acc

@@ -48,7 +48,6 @@ def test_pad_to_steps_fixed_step_count(tiny_dataset):
     assert batches[1].mask.sum() == 1
     for b in batches[2:]:
         assert b.mask.sum() == 0
-        assert (b.indices == -1).all()
         assert b.images.shape == (4, 32, 32, 3)
 
 
@@ -71,7 +70,8 @@ def test_final_batch_pads_with_wraparound_not_index0(tiny_dataset):
     pad_rows = batch.images[5:]
     expected = store.images[[0, 1, 2]]
     np.testing.assert_array_equal(pad_rows, expected)
-    assert (batch.indices[5:] == -1).all()
+    # indices record the true source row of every slot (gather-path contract)
+    np.testing.assert_array_equal(batch.indices[5:], [0, 1, 2])
     assert batch.mask[5:].sum() == 0
 
 
