@@ -1,17 +1,25 @@
 """Benchmark: augmented images/sec/chip at 224px (BASELINE.json north-star).
 
-Times the fused on-device augmentation kernels (all six ops per round) on one
-chip against the PIL per-image pipeline the reference uses
-(`srcs/preprocessing/image_augmenter.py` semantics) on this host.
+Two honest numbers:
+
+1. **Kernel throughput** (the headline `value`): the fused on-device
+   augmentation kernels (all six ops per round), device-resident loop —
+   what the chip can do when fed. Compared against the single-core PIL
+   per-image pipeline (reference op semantics).
+2. **End-to-end throughput** (`e2e_img_per_sec`): the real balancer path —
+   JPEG decode → host→device → batched kernel → device→host → JPEG encode,
+   windowed pipeline — on a synthetic unbalanced dataset. Compared against
+   a reference-style ProcessPool PIL balancer at the reference's worker
+   count (`get_optimal_worker_count`), i.e. the fan-out the reference
+   actually uses (`srcs/preprocessing/dataset_balancer.py:137-162`).
 
 Measurement design for a tunneled TPU: host↔device I/O rides a relay
-(~70 MB/s, ~140 ms sync RTT), so the kernel loop runs entirely on device —
+(~3-70 MB/s, ~140 ms sync RTT), so the kernel loop runs entirely on device —
 the batch is generated on device, R rounds of all six ops run inside one
-jitted `lax.scan`, and only a float32 checksum crosses back. One dispatch,
-one scalar: the relay contributes one RTT, amortized over thousands of
-images.
+jitted `lax.scan`, and only a float32 checksum crosses back. The e2e number
+includes all relay transfer costs (a real TPU host's PCIe is >100x faster).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...e2e keys}.
 """
 
 from __future__ import annotations
@@ -26,6 +34,9 @@ IMG = 224
 DEVICE_BATCH = 128
 ROUNDS = 20         # scan length; 20 * 6 ops * 128 imgs = 15,360 images/call
 PIL_SAMPLES = 36    # PIL baseline images (slow; measured then extrapolated)
+E2E_CLASS_IMGS = (260, 60)  # synthetic tree: big class vs small class
+#                             → 200 generated images (amortizes fixed costs)
+E2E_POOL_TASKS = 48         # tasks for the process-pool PIL baseline
 
 
 def bench_device() -> float:
@@ -127,15 +138,147 @@ def bench_pil_baseline() -> float:
     return ops_done / dt
 
 
+def _make_synthetic_tree(root, rng) -> int:
+    """Unbalanced PLANT/CLASS tree → number of augmentations the plan will
+    generate (big-class count − small-class count)."""
+    from PIL import Image
+
+    big, small = E2E_CLASS_IMGS
+    yy, xx = np.mgrid[0:IMG, 0:IMG].astype(np.float32)
+    base = np.stack([xx % 251, yy % 241, (xx + yy) % 253], -1)
+    for cls, n in (("healthy", big), ("rust", small)):
+        d = root / "Apple" / cls
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            arr = (base + rng.normal(0, 8, (IMG, IMG, 3))).clip(0, 255)
+            Image.fromarray(arr.astype(np.uint8)).save(
+                d / f"img{i}.jpg", quality=95)
+    return big - small
+
+
+def bench_e2e_balancer() -> float:
+    """Real balancer end-to-end (decode → device → encode, incl. manifest):
+    generated images/sec."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from leaffliction_tpu.data.balancer import DatasetBalancer
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench-e2e-"))
+    try:
+        rng = np.random.default_rng(7)
+        n_gen = _make_synthetic_tree(tmp / "src", rng)
+        bal = DatasetBalancer(source_dir=tmp / "src",
+                              target_dir=tmp / "out", seed=42,
+                              manifest_out_dir=tmp / "datasets")
+        t0 = time.perf_counter()
+        bal.run()
+        dt = time.perf_counter() - t0
+        return n_gen / dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _pil_pool_task(args) -> float:
+    """One reference-style task: JPEG decode → one PIL op → JPEG encode q95.
+    Mirrors `_process_single_transformation` work per task."""
+    import random
+
+    from PIL import Image, ImageOps
+
+    src, dst, transform, seed = args
+    rng = random.Random(seed)
+    with Image.open(src) as im:
+        img = im.convert("RGB")
+    w, h = img.size
+    if transform == "flip":
+        img = img.transpose(Image.FLIP_LEFT_RIGHT if rng.random() < 0.5
+                            else Image.FLIP_TOP_BOTTOM)
+    elif transform == "rotate":
+        img = img.rotate(rng.uniform(-30, 30), expand=True, fillcolor="white")
+    elif transform == "skew":
+        s = rng.uniform(0.05, 0.15)
+        img = img.transform((w, h), Image.PERSPECTIVE,
+                            [1 + s, 0, -s * w, 0, 1 + s, -s * h, 0, 0],
+                            Image.BICUBIC)
+    elif transform == "shear":
+        img = img.transform((w, h), Image.AFFINE,
+                            [1, rng.uniform(-0.2, 0.2), 0, 0, 1, 0],
+                            Image.BICUBIC)
+    elif transform == "crop":
+        ratio = rng.uniform(0.8, 0.95)
+        nw, nh = int(w * ratio), int(h * ratio)
+        left, top = rng.randint(0, w - nw), rng.randint(0, h - nh)
+        img = img.crop((left, top, left + nw, top + nh)).resize(
+            (w, h), Image.LANCZOS)
+    else:  # distortion
+        arr = np.asarray(img)
+        noisy = np.clip(arr + np.random.default_rng(seed).normal(0, 5, arr.shape),
+                        0, 255).astype(np.uint8)
+        img = ImageOps.autocontrast(Image.fromarray(noisy),
+                                    cutoff=rng.uniform(0, 2))
+    img.save(dst, quality=95)
+    return 1.0
+
+
+def bench_pil_pool_baseline() -> tuple[float, int]:
+    """Reference fan-out: ProcessPool of PIL tasks at the reference's own
+    worker heuristic → (tasks/sec, workers)."""
+    import concurrent.futures as cf
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from leaffliction_tpu.core.sysinfo import get_optimal_worker_count
+
+    workers = get_optimal_worker_count()
+    tmp = Path(tempfile.mkdtemp(prefix="bench-pool-"))
+    try:
+        rng = np.random.default_rng(7)
+        _make_synthetic_tree(tmp / "src", rng)
+        srcs = sorted((tmp / "src" / "Apple" / "rust").glob("*.jpg"))
+        transforms = ("flip", "rotate", "skew", "shear", "crop", "distortion")
+        tasks = [
+            (str(srcs[i % len(srcs)]),
+             str(tmp / f"out{i}.jpg"),
+             transforms[i % 6], i)
+            for i in range(E2E_POOL_TASKS)
+        ]
+        import multiprocessing as mp
+
+        # spawn: forking after JAX initialized its thread pools can deadlock
+        with cf.ProcessPoolExecutor(
+                max_workers=workers,
+                mp_context=mp.get_context("spawn")) as pool:
+            # warm the workers first so spawn startup doesn't punish the
+            # baseline (the reference's long-lived pool pays it once)
+            list(pool.map(_pil_pool_task, tasks[:workers]))
+            t0 = time.perf_counter()
+            list(pool.map(_pil_pool_task, tasks))
+            dt = time.perf_counter() - t0
+        return len(tasks) / dt, workers
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     device_ips = bench_device()
     # best-of-2 stabilizes the noisy single-core PIL denominator
     pil_ips = max(bench_pil_baseline(), bench_pil_baseline())
+    e2e_ips = bench_e2e_balancer()
+    pool_ips, pool_workers = bench_pil_pool_baseline()
     result = {
         "metric": "augmented images/sec/chip at 224px",
         "value": round(device_ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(device_ips / pil_ips, 2),
+        # end-to-end (decode → device kernel → encode, incl. relay transfer)
+        # vs the reference's actual process-pool fan-out on this host
+        "e2e_img_per_sec": round(e2e_ips, 1),
+        "pil_pool_img_per_sec": round(pool_ips, 1),
+        "pil_pool_workers": pool_workers,
+        "e2e_vs_pool_baseline": round(e2e_ips / pool_ips, 2),
     }
     print(json.dumps(result))
 

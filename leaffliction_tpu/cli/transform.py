@@ -314,12 +314,16 @@ def _precompute_masks_batched(imgs: List[Path], cfg: TransformConfig,
     scorer already picked the best candidate) — single-image mode keeps it.
     """
     import concurrent.futures as cf
+    from functools import partial as _partial
 
     import jax
     import jax.numpy as jnp
 
     from leaffliction_tpu.segment.contours import largest_contour_points
-    from leaffliction_tpu.segment.mask import make_mask_batch
+    from leaffliction_tpu.segment.mask import (
+        finalize_mask_batch,
+        make_mask_batch_async,
+    )
 
     decoded: Dict[Path, np.ndarray] = {}
 
@@ -336,7 +340,19 @@ def _precompute_masks_batched(imgs: List[Path], cfg: TransformConfig,
     for p, arr in decoded.items():
         by_shape.setdefault(arr.shape, []).append(p)
 
-    masks: Dict[Path, tuple] = {}
+    @_partial(jax.jit, static_argnames=("wh", "ww"))
+    def _upscale(dev, wh, ww):
+        return jax.image.resize(dev.astype(jnp.float32),
+                                (dev.shape[0], wh, ww, 3), "cubic")
+
+    @_partial(jax.jit, static_argnames=("h", "w"))
+    def _downscale_mask(mask_dev, h, w):
+        return jax.image.resize(mask_dev.astype(jnp.float32),
+                                (mask_dev.shape[0], h, w), "nearest") > 0.5
+
+    # Dispatch every chunk before fetching any mask: uint8 uploads overlap
+    # segmentation compute across chunks, one sync at the end.
+    pending = []
     for shape, paths in by_shape.items():
         h, w = shape[0], shape[1]
         # same upscale policy as the single-image path (`mask.py:29-50`)
@@ -348,19 +364,21 @@ def _precompute_masks_batched(imgs: List[Path], cfg: TransformConfig,
         wh, ww = int(round(h * s)), int(round(w * s))
         for start in range(0, len(paths), device_batch):
             chunk = paths[start:start + device_batch]
-            batch = np.stack([decoded[p] for p in chunk]).astype(np.float32)
-            dev = jnp.asarray(batch)
+            dev = jnp.asarray(np.stack([decoded[p] for p in chunk]))  # uint8
             if abs(s - 1.0) > 1e-6:
-                dev = jax.image.resize(dev, (dev.shape[0], wh, ww, 3), "cubic")
-            mask_dev, _ = make_mask_batch(dev, cfg)
-            if abs(s - 1.0) > 1e-6:
-                mask_dev = jax.image.resize(
-                    mask_dev.astype(jnp.float32),
-                    (mask_dev.shape[0], h, w), "nearest") > 0.5
-            mask_np = np.asarray(jax.device_get(mask_dev))
-            for p, m in zip(chunk, mask_np):
-                mask_u8 = (m > 0).astype(np.uint8) * 255
-                masks[p] = (mask_u8, largest_contour_points(m))
+                dev = _upscale(dev, wh, ww)
+            mask_dev, scores = make_mask_batch_async(dev, cfg)
+            pending.append((chunk, dev, mask_dev, scores, s, h, w))
+
+    masks: Dict[Path, tuple] = {}
+    for chunk, dev, mask_dev, scores, s, h, w in pending:
+        mask_dev = finalize_mask_batch(dev, mask_dev, scores, cfg)
+        if abs(s - 1.0) > 1e-6:
+            mask_dev = _downscale_mask(mask_dev, h, w)
+        mask_np = np.asarray(jax.device_get(mask_dev))
+        for p, m in zip(chunk, mask_np):
+            mask_u8 = (m > 0).astype(np.uint8) * 255
+            masks[p] = (mask_u8, largest_contour_points(m))
     LOGGER.info("Precomputed %d masks in device batches", len(masks))
     return decoded, masks
 

@@ -208,46 +208,76 @@ class DatasetBalancer:
 
         # Windowed pipeline: keep up to PIPELINE_DEPTH chunks in flight so
         # uploads/compute overlap the (slow, fluctuating) downloads without
-        # holding every output batch in HBM at once.
+        # holding every output batch in HBM at once. JPEG encodes go to a
+        # thread pool (libjpeg releases the GIL; serial encode at ~8 ms/img
+        # would cap the whole pipeline at ~125 img/s).
         from collections import deque
 
         PIPELINE_DEPTH = 8
         pending: "deque" = deque()
+        writer = cf.ThreadPoolExecutor(max_workers=8)
+        write_futures: List[cf.Future] = []
+        submitted = 0
+
+        def _write_one(path: Path, arr: np.ndarray) -> bool:
+            try:
+                write_jpeg(path, arr)
+                return True
+            except Exception as exc:
+                LOGGER.error("Failed: %s (%s)", path, exc)
+                return False
 
         def collect_one() -> None:
-            nonlocal completed, failed
+            nonlocal submitted
             transform, shape, chunk, out_dev, angles_dev = pending.popleft()
             out = np.asarray(jax.device_get(out_dev))
             angles = (np.asarray(jax.device_get(angles_dev))
                       if angles_dev is not None else None)
             for j, task in enumerate(chunk):
-                try:
-                    img_np = out[j]
-                    if angles is not None:
-                        # crop static canvas to the exact PIL-expanded size
-                        h0, w0 = shape[0], shape[1]
-                        ew, eh = pil_expanded_size(float(angles[j]), w0, h0)
-                        ch, cw = img_np.shape[0], img_np.shape[1]
-                        top = max((ch - eh) // 2, 0)
-                        left = max((cw - ew) // 2, 0)
-                        img_np = img_np[top:top + eh, left:left + ew]
-                    write_jpeg(task.output_path, img_np)
-                    completed += 1
-                except Exception as exc:
-                    LOGGER.error("Failed: %s (%s)", task.output_path, exc)
-                    failed += 1
-                if (completed + failed) % 500 == 0:
-                    LOGGER.info(
-                        "Progress: %d/%d (%.1f%%) - %d success, %d failed",
-                        completed + failed, total,
-                        100.0 * (completed + failed) / max(total, 1),
-                        completed, failed)
+                img_np = out[j]
+                if angles is not None:
+                    # crop static canvas to the exact PIL-expanded size
+                    h0, w0 = shape[0], shape[1]
+                    ew, eh = pil_expanded_size(float(angles[j]), w0, h0)
+                    ch, cw = img_np.shape[0], img_np.shape[1]
+                    top = max((ch - eh) // 2, 0)
+                    left = max((cw - ew) // 2, 0)
+                    img_np = img_np[top:top + eh, left:left + ew]
+                write_futures.append(
+                    writer.submit(_write_one, task.output_path, img_np))
+                submitted += 1
+                if submitted % 500 == 0:
+                    LOGGER.info("Progress: %d/%d (%.1f%%) dispatched to encode",
+                                submitted, total,
+                                100.0 * submitted / max(total, 1))
+
+        # Device-resident source pools: tasks re-pick the same source images
+        # many times (random choice per task), so upload each unique source
+        # ONCE per shape and gather task batches on device by index —
+        # uploads shrink from one image per task to one per unique source.
+        import jax.numpy as jnp
+
+        gather = jax.jit(lambda pool_arr, sel: jnp.take(pool_arr, sel, axis=0))
+
+        srcs_by_shape: Dict[tuple, List[Path]] = defaultdict(list)
+        for (transform, shape), group in groups.items():
+            for t in group:
+                srcs_by_shape[shape].append(t.source_img)
+        pools: Dict[tuple, tuple] = {}
+        for shape, paths in srcs_by_shape.items():
+            uniq = sorted(set(paths))
+            pool_dev = jax.device_put(
+                np.stack([decoded[p] for p in uniq]))
+            pools[shape] = (pool_dev, {p: i for i, p in enumerate(uniq)})
 
         for (transform, shape), group in groups.items():
             kernel = BATCH_KERNELS[transform]
+            pool_dev, src_idx = pools[shape]
             for start in range(0, len(group), DEVICE_BATCH):
                 chunk = group[start:start + DEVICE_BATCH]
-                imgs = np.stack([decoded[t.source_img] for t in chunk])
+                sel = np.asarray([src_idx[t.source_img] for t in chunk],
+                                 np.int32)
+                imgs = gather(pool_dev, sel)
                 keys = jax.vmap(
                     lambda s: jax.random.fold_in(root_key, s)
                 )(np.asarray([t.task_seed for t in chunk], np.uint32))
@@ -261,6 +291,12 @@ class DatasetBalancer:
                     collect_one()
         while pending:
             collect_one()
+        for fut in write_futures:
+            if fut.result():
+                completed += 1
+            else:
+                failed += 1
+        writer.shutdown()
         LOGGER.info("Augmentation complete: %d images generated, %d failed",
                     completed, failed)
         return completed, failed

@@ -225,7 +225,11 @@ def apply_training_transform(store: ImageStore, cfg=None,
     import jax.numpy as jnp
 
     from leaffliction_tpu.segment.config import TransformConfig
-    from leaffliction_tpu.segment.mask import apply_mask_white, make_mask_batch
+    from leaffliction_tpu.segment.mask import (
+        apply_mask_white,
+        finalize_mask_batch,
+        make_mask_batch_async,
+    )
 
     cfg = cfg or TransformConfig(mask_upscale_factor=1.0,
                                  mask_upscale_long_side=0,
@@ -236,20 +240,23 @@ def apply_training_transform(store: ImageStore, cfg=None,
         out = apply_mask_white(imgs, masks)
         return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
-    def _transform(imgs):
-        # make_mask_batch is host-orchestrated (deferred fallback) and
-        # internally jitted — it must not be traced inside another jit
-        masks, _ = make_mask_batch(jnp.asarray(imgs, jnp.float32), cfg)
-        return _apply(jnp.asarray(imgs), masks)
-
+    # Dispatch every chunk before collecting any result: uint8 uploads (4x
+    # less than float32) overlap the previous chunk's segmentation compute,
+    # and nothing syncs until the whole dataset is in flight.
     n = len(store.images)
+    pending = []
     for start in range(0, n, device_batch):
         chunk = store.images[start:start + device_batch]
         pad = device_batch - chunk.shape[0]
         if pad:
             chunk = np.concatenate(
                 [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-        out = np.asarray(jax.device_get(_transform(chunk)))
+        dev = jnp.asarray(chunk)
+        masks, scores = make_mask_batch_async(dev, cfg)
+        pending.append((start, pad, dev, masks, scores))
+    for start, pad, dev, masks, scores in pending:
+        masks = finalize_mask_batch(dev, masks, scores, cfg)
+        out = np.asarray(jax.device_get(_apply(dev, masks)))
         store.images[start:start + device_batch] = out[:device_batch - pad
                                                        if pad else device_batch]
     LOGGER.info("Applied training transform (masked, white bg) to %d images",

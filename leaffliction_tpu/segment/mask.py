@@ -498,22 +498,40 @@ def _extend_batch(masks: Array, imgs: Array, cfg: TransformConfig) -> Array:
     )(masks, imgs)
 
 
-def make_mask_batch(imgs: Array, cfg: TransformConfig) -> Tuple[Array, Array]:
-    """Batched masks for the training/serving hot path (no host refinement):
-    N×H×W×3 → (N×H×W bool, N scores).
+def make_mask_batch_async(imgs: Array, cfg: TransformConfig
+                          ) -> Tuple[Array, Array]:
+    """Dispatch-only batched masks: → (masks_dev, scores_dev), NO host sync.
 
-    The Otsu fallback is deferred OUT of the vmapped program: under vmap a
-    `lax.cond` executes both branches for every image, so the (rare) failure
-    path would cost ~20% of the batch. Instead, failures are detected from
-    the scores and re-run per-image on the fallback path.
-    """
+    Callers processing many chunks should dispatch them all first and
+    finalize afterwards (`finalize_mask_batch`), so each chunk's
+    host→device transfer overlaps the previous chunk's compute. Images may
+    be uint8 (preferred: 4x less transfer than float32; the cast happens
+    on device)."""
     masks, scores = _make_mask_batch_main(imgs, cfg)
     extended = _extend_batch(masks, imgs, cfg)
+    return extended, scores
+
+
+def finalize_mask_batch(imgs: Array, extended: Array, scores: Array,
+                        cfg: TransformConfig) -> Array:
+    """Resolve the (rare) zero-score failures with the Otsu fallback.
+
+    The fallback is deferred OUT of the vmapped program: under vmap a
+    `lax.cond` executes both branches for every image, so the failure path
+    would cost ~20% of every batch. Failures are detected from the scores
+    and re-run per image instead."""
     failed = np.nonzero(np.asarray(jax.device_get(scores)) <= 0.0)[0]
     for i in failed:
         extended = extended.at[int(i)].set(
             _fallback_extend_core(imgs[int(i)], cfg))
-    return extended, scores
+    return extended
+
+
+def make_mask_batch(imgs: Array, cfg: TransformConfig) -> Tuple[Array, Array]:
+    """Batched masks for the training/serving hot path (no host refinement):
+    N×H×W×3 (uint8 or float) → (N×H×W bool, N scores)."""
+    extended, scores = make_mask_batch_async(imgs, cfg)
+    return finalize_mask_batch(imgs, extended, scores, cfg), scores
 
 
 def apply_mask_white(img: Array, mask: Array) -> Array:
