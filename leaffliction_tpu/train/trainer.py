@@ -163,10 +163,13 @@ def evaluate(
             pending.append((metrics, preds if collect_preds else None, batch))
     else:
         eval_fn = step_fns.eval_step_ema if use_ema else step_fns.eval_step
-        for batch in prefetch_to_device(val_iter.epoch(0), step_fns.mesh):
-            metrics, preds = eval_fn(state, batch.images, batch.labels,
-                                     batch.mask)
-            pending.append((metrics, preds if collect_preds else None, batch))
+        # keep the HOST batch for label/mask pairing: after device placement
+        # the arrays are global and (on multi-host) not fully addressable
+        host_batches = list(val_iter.epoch(0))
+        dev_stream = prefetch_to_device(iter(host_batches), step_fns.mesh)
+        for hb, db in zip(host_batches, dev_stream):
+            metrics, preds = eval_fn(state, db.images, db.labels, db.mask)
+            pending.append((metrics, preds if collect_preds else None, hb))
 
     def _local_preds(preds) -> np.ndarray:
         """Host-local rows of the (data-sharded) preds array.

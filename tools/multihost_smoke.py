@@ -1,0 +1,112 @@
+"""Two-process multi-host smoke test over localhost (CPU backend).
+
+Each process runs this script with a process id; together they form a
+2-process jax.distributed "slice" with 2 virtual CPU devices per process
+(4-device global mesh). The run exercises the real multi-host code paths:
+
+- `parallel.distributed.maybe_initialize` from coordinator env vars;
+- `items_for_process` stride sharding with an UNEVEN item count (5 items
+  over 2 hosts → 3 vs 2) + `global_steps_per_epoch`/`pad_to_steps`, so the
+  hosts execute the same number of collective train steps;
+- global batch assembly via `jax.make_array_from_process_local_data`
+  (trainer.prefetch_to_device multi-host branch);
+- a full `fit` epoch (sharded train steps, per-epoch eval, EMA winner
+  selection) and an `evaluate(collect_preds=True)` — the host-local
+  addressable-shards fetch of the data-sharded predictions.
+
+Usage (run both, e.g. from tests or two shells):
+    python tools/multihost_smoke.py <process_id> <num_processes> <port>
+Prints "MULTIHOST_OK p<i> ..." on success.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # exactly 2 virtual devices per process (override any inherited flag)
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append("--xla_force_host_platform_device_count=2")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
+    os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    os.environ["JAX_NUM_PROCESSES"] = str(nproc)
+    os.environ["JAX_PROCESS_ID"] = str(pid)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from leaffliction_tpu.data.loader import (
+        BatchIterator,
+        global_steps_per_epoch,
+        items_for_process,
+    )
+    from leaffliction_tpu.models.leafcnn import build_leafcnn
+    from leaffliction_tpu.parallel.distributed import maybe_initialize
+    from leaffliction_tpu.parallel.mesh import MeshSpec, make_mesh
+    from leaffliction_tpu.train.config import TrainConfig
+    from leaffliction_tpu.train.steps import build_step_fns, create_train_state
+    from leaffliction_tpu.train.trainer import evaluate, fit
+
+    maybe_initialize()
+    assert jax.process_count() == nproc, jax.process_count()
+    n_global_devices = len(jax.devices())
+    assert n_global_devices == 2 * nproc, jax.devices()
+
+    # ---- synthetic per-host data (no files needed) -------------------------
+    class ArrayStore:
+        def __init__(self, images, labels, img_size):
+            self.images = images
+            self.labels = labels.astype(np.int32)
+            self.img_size = img_size
+
+        @property
+        def valid_indices(self):
+            return np.arange(len(self.images), dtype=np.int32)
+
+    img_size, classes, bs = 16, 3, 2
+    rng = np.random.default_rng(0)  # same stream on both hosts
+    n_items = 5                      # UNEVEN over 2 hosts: 3 vs 2
+    all_imgs = rng.integers(0, 255, (n_items, img_size, img_size, 3), np.uint8)
+    all_labels = rng.integers(0, classes, (n_items,))
+
+    local_items = items_for_process(list(range(n_items)))
+    pad_steps = global_steps_per_epoch(n_items, bs)
+    train_store = ArrayStore(all_imgs[local_items], all_labels[local_items],
+                             img_size)
+    # val: every host loads the SAME data (matches cli/train.py behavior)
+    val_store = ArrayStore(all_imgs, all_labels, img_size)
+
+    train_iter = BatchIterator(train_store, bs, shuffle=True, seed=0,
+                               pad_to_steps=pad_steps)
+    val_iter = BatchIterator(val_store, bs, shuffle=False)
+
+    mesh = make_mesh(MeshSpec(data=n_global_devices, model=1))
+    model = build_leafcnn(num_classes=classes, scale="tiny")
+    cfg = TrainConfig.regularized()
+    fns = build_step_fns(model, cfg, classes,
+                         total_steps=pad_steps * 2, mesh=mesh)
+    state = create_train_state(model, cfg, img_size=img_size, seed=0)
+
+    result = fit(fns, state, train_iter, val_iter, cfg, epochs=2, seed=0)
+    assert result.steps_ran == pad_steps * 2, result.steps_ran
+
+    loss, acc, y_true, y_pred = evaluate(fns, result.state, val_iter,
+                                         collect_preds=True)
+    assert np.isfinite(loss)
+    assert y_true.shape == y_pred.shape and len(y_true) == n_items
+
+    print(f"MULTIHOST_OK p{pid} steps={result.steps_ran} "
+          f"val_loss={loss:.4f} preds={len(y_pred)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
