@@ -420,6 +420,26 @@ def _fallback_extend_core(rgb: Array, cfg: TransformConfig) -> Array:
     return extend_with_brown(fallback_mask(rgb, cfg), rgb, cfg)
 
 
+def _grabcut_any(mask_np: np.ndarray, rgb_np: np.ndarray) -> Optional[np.ndarray]:
+    """GrabCut refinement with backend selection via LEAF_GRABCUT:
+    `auto` (default: cv2 when importable, else the on-device analog),
+    `device` (JAX GMM+ICM, no cv2 import), `cv2`, or `off`."""
+    import os
+
+    mode = os.environ.get("LEAF_GRABCUT", "auto")
+    if mode == "off":
+        return None
+    if mode in ("auto", "cv2"):
+        refined = _grabcut_refine_host(mask_np, rgb_np)
+        if refined is not None or mode == "cv2":
+            return refined
+    from leaffliction_tpu.segment.grabcut import grabcut_refine
+
+    dev = grabcut_refine(jnp.asarray(rgb_np, jnp.float32),
+                         jnp.asarray(mask_np > 0))
+    return (np.asarray(dev) > 0).astype(np.uint8) * 255
+
+
 def _grabcut_refine_host(mask_np: np.ndarray, rgb_np: np.ndarray) -> Optional[np.ndarray]:
     """cv2.grabCut refinement (`mask.py:307-332`) — host-side, viz path only."""
     try:
@@ -469,7 +489,7 @@ def make_mask(rgb: np.ndarray, cfg: TransformConfig | None = None
     mask_np = (np.asarray(mask_dev) > 0).astype(np.uint8) * 255
 
     if cfg.grabcut_refine:
-        refined = _grabcut_refine_host(mask_np, work)
+        refined = _grabcut_any(mask_np, work)
         if refined is not None and refined.any():
             m2 = postprocess_mask(jnp.asarray(refined > 0), cfg)
             sc2 = float(score_mask(m2, jnp.asarray(work), cfg))
