@@ -55,6 +55,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     mx.add_argument("--small", action="store_true")
     mx.add_argument("--base", action="store_true")
     p.add_argument("--separable", action="store_true")
+    p.add_argument("--stem", choices=["conv", "s2d"], default="conv",
+                   help="LeafCNN stem: conv (reference parity) or s2d "
+                        "(space-to-depth, ~2.3x faster steps on TPU)")
     p.add_argument("--arch", choices=["leafcnn", "resnet10", "resnet18"],
                    default="leafcnn",
                    help="Backbone: leafcnn (reference-parity) or a deeper "
@@ -186,7 +189,7 @@ def main(argv=None) -> None:
         model = build_leafcnn(
             num_classes=num_classes, scale=args.scale,
             separable=args.separable,
-            use_norm=not args.no_normalization, dtype=dtype,
+            use_norm=not args.no_normalization, stem=args.stem, dtype=dtype,
         )
     else:
         from leaffliction_tpu.models.resnet import build_resnet
@@ -226,6 +229,7 @@ def main(argv=None) -> None:
                            else args.arch),
                   "scale": args.scale,
                   "separable": bool(args.separable),
+                  "stem": args.stem,
                   "use_normalization": not args.no_normalization,
                   "widths": list(preset["widths"]),
                   "drop_block": preset["drop_block"],

@@ -100,8 +100,27 @@ class ResBlock(nn.Module):
         return nn.relu(shortcut + y)
 
 
+def space_to_depth(x: Array, block: int = 2) -> Array:
+    """N×H×W×C → N×(H/b)×(W/b)×(C·b²) rearrangement (no FLOPs, pure layout).
+
+    TPU rationale: the reference stem convolves 3 input channels at full
+    resolution, which tiles terribly onto the 128×128 MXU (~10 TFLOP/s vs
+    ~52 for ≥64-channel shapes). Folding a 2×2 spatial block into channels
+    quarters the area and quadruples input depth before the first matmul."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // block, w // block, c * block * block)
+
+
 class LeafCNN(nn.Module):
-    """Full classifier. Input: N×H×W×3 float [0,1]. Output: logits N×K."""
+    """Full classifier. Input: N×H×W×3 float [0,1]. Output: logits N×K.
+
+    `stem="conv"` is the reference-parity stem (full-resolution ConvBlock);
+    `stem="s2d"` applies a 2× space-to-depth before the stem and skips the
+    first stage's maxpool, keeping the total downsampling factor — stage 1
+    then runs at quarter area with MXU-friendly channel depth.
+    """
 
     num_classes: int
     widths: Sequence[int] = (32, 64, 128)
@@ -110,6 +129,7 @@ class LeafCNN(nn.Module):
     separable: bool = False
     use_se: bool = True
     use_norm: bool = True
+    stem: str = "conv"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -124,8 +144,10 @@ class LeafCNN(nn.Module):
             x = (x - mean.value) * jax.lax.rsqrt(var.value + 1e-7)
         x = x.astype(self.dtype)
 
+        if self.stem == "s2d":
+            x = space_to_depth(x, 2)
         x = ConvBlock(self.widths[0], self.separable, self.dtype)(x, train)
-        for features in self.widths:
+        for i, features in enumerate(self.widths):
             x = ResBlock(features, self.separable, self.use_se,
                          self.dtype)(x, train)
             if self.drop_block > 0:
@@ -133,6 +155,8 @@ class LeafCNN(nn.Module):
                 x = nn.Dropout(self.drop_block,
                                broadcast_dims=(1, 2),
                                deterministic=not train)(x)
+            if self.stem == "s2d" and i == 0:
+                continue  # the 2x downsample moved into the stem
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = jnp.mean(x, axis=(1, 2))
         if self.drop_top > 0:
@@ -146,6 +170,7 @@ def build_leafcnn(
     scale: str = "base",
     separable: bool = False,
     use_norm: bool = True,
+    stem: str = "conv",
     dtype: Any = jnp.float32,
 ) -> LeafCNN:
     preset = SCALE_PRESETS[scale]
@@ -156,6 +181,7 @@ def build_leafcnn(
         drop_top=preset["drop_top"],
         separable=separable,
         use_norm=use_norm,
+        stem=stem,
         dtype=dtype,
     )
 

@@ -57,6 +57,7 @@ class ModelLoader:
                 drop_top=mcfg.get("drop_top", 0.40),
                 separable=bool(mcfg.get("separable", False)),
                 use_norm=bool(mcfg.get("use_normalization", True)),
+                stem=mcfg.get("stem", "conv"),
                 dtype=dtype,
             )
         restored = load_model_msgpack(model_file)

@@ -6,6 +6,75 @@ import jax
 import jax.numpy as jnp
 
 
+def test_space_to_depth_layout():
+    from leaffliction_tpu.models.leafcnn import space_to_depth
+
+    x = jnp.arange(2 * 4 * 4 * 3).reshape(2, 4, 4, 3).astype(jnp.float32)
+    y = space_to_depth(x, 2)
+    assert y.shape == (2, 2, 2, 12)
+    # block (0,0) of image 0 = pixels (0,0),(0,1),(1,0),(1,1) channel-stacked
+    np.testing.assert_array_equal(
+        np.asarray(y[0, 0, 0]),
+        np.concatenate([np.asarray(x[0, 0, 0]), np.asarray(x[0, 0, 1]),
+                        np.asarray(x[0, 1, 0]), np.asarray(x[0, 1, 1])]))
+
+
+def test_leafcnn_s2d_stem_shapes_and_grad():
+    from leaffliction_tpu.models.leafcnn import build_leafcnn
+
+    model = build_leafcnn(num_classes=5, scale="tiny", stem="s2d")
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    logits = model.apply(variables, x, train=False)
+    assert logits.shape == (2, 5)
+
+    # same total downsampling as the conv stem: final GAP input matches
+    conv = build_leafcnn(num_classes=5, scale="tiny", stem="conv")
+    vc = conv.init(jax.random.key(0), x, train=False)
+    logits_c = conv.apply(vc, x, train=False)
+    assert logits_c.shape == (2, 5)
+
+    def loss(params):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"],
+             "norm_stats": variables["norm_stats"]},
+            x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(1)})[0]
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(v).all() for v in jax.tree_util.tree_leaves(
+        jax.device_get(g)))
+
+
+def test_model_loader_rebuilds_s2d(tmp_path):
+    import json
+
+    from leaffliction_tpu.models.leafcnn import build_leafcnn
+    from leaffliction_tpu.predict.model_loader import ModelLoader
+    from leaffliction_tpu.train.checkpoint import save_model_msgpack
+
+    model = build_leafcnn(num_classes=3, scale="tiny", stem="s2d")
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    save_model_msgpack(tmp_path / "leaf_cnn.msgpack", variables["params"],
+                       variables.get("batch_stats", {}),
+                       variables.get("norm_stats", {}))
+    (tmp_path / "meta.json").write_text(json.dumps({
+        "model_file": "leaf_cnn.msgpack",
+        "labels": ["a", "b", "c"],
+        "data": {"img_size": 32, "num_classes": 3},
+        "model": {"name": "leaf_cnn", "widths": [16, 32, 64],
+                  "scale": "tiny", "stem": "s2d", "separable": False,
+                  "use_normalization": True,
+                  "drop_block": 0.1, "drop_top": 0.3},
+        "training": {"mixed_precision": False},
+    }))
+    loader = ModelLoader(tmp_path).load()
+    logits = loader.model.apply(loader.variables, x, train=False)
+    assert logits.shape == (1, 3)
+
+
 def test_resnet_forward_and_grad():
     from leaffliction_tpu.models.resnet import build_resnet
 
