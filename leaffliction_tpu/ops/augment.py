@@ -97,6 +97,17 @@ def _rotate_one(key: Array, img: Array, canvas: Tuple[int, int]) -> Tuple[Array,
     return out, angle
 
 
+def _use_pallas_rotate() -> bool:
+    """Pallas barrel-shift rotate on TPU (the matmul path is MXU-starved at
+    C=3); env LEAF_PALLAS_ROTATE=0/1 overrides."""
+    import os
+
+    flag = os.environ.get("LEAF_PALLAS_ROTATE")
+    if flag is not None:
+        return flag not in ("0", "false", "")
+    return jax.default_backend() == "tpu"
+
+
 def _skew_one(key: Array, img: Array) -> Array:
     h, w = img.shape[0], img.shape[1]
     s = jax.random.uniform(key, (), jnp.float32, 0.05, 0.15)
@@ -155,6 +166,14 @@ def rotate_batch(keys: Array, imgs: Array) -> Tuple[Array, Array]:
     """→ (canvas-size batch, angles). Host crops with `pil_expanded_size`."""
     h, w = imgs.shape[1], imgs.shape[2]
     canvas = rotate_canvas_hw(h, w)
+    if _use_pallas_rotate():
+        from leaffliction_tpu.ops.pallas.rotate import rotate_batch_pallas
+
+        angles = jax.vmap(
+            lambda k: jax.random.uniform(k, (), jnp.float32,
+                                         -MAX_ROTATE_DEG, MAX_ROTATE_DEG)
+        )(keys)
+        return rotate_batch_pallas(imgs, angles, canvas, fill=255.0), angles
     out, angles = jax.vmap(lambda k, x: _rotate_one(k, x, canvas))(keys, imgs)
     return _to_u8(out), angles
 

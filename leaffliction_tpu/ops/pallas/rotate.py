@@ -1,0 +1,170 @@
+"""Pallas TPU kernel: fused 3-shear rotation with the canvas resident in VMEM.
+
+The matmul formulation of the Paeth rotation (`ops/resample.rotate_warp`) is
+correct but MXU-starved: each shear pass is a batch of [C=3, K] x [K, W]
+matmuls, so only 3 of the MXU's 128 result rows do work, and the three passes
+round-trip the ~306² canvas through HBM twice. Measured at base shapes the
+whole rotate costs ~18 ms per 128-image batch — the most expensive of the six
+augmentation ops (`srcs/preprocessing/image_augmenter.py:33-42` is the
+reference op being replaced).
+
+This kernel exploits that a shear pass is a *pure per-row shift*: for
+row y, `out[y, x] = in[y, x + s·(y - cy)]` — an integer shift plus a 2-tap
+lerp, not a dense resample. Per image (one program per image and channel):
+
+    canvas  <- white-fill, input placed centered        (VMEM scratch)
+    pass 1  <- barrel-shift rows   by floor(-t·(y-cy)), lerp by frac
+    pass 2  <- barrel-shift cols   by floor( s·(x-cx)), lerp by frac
+    pass 3  <- barrel-shift rows   by floor(-t·(y-cy)), lerp by frac
+    out     <- round/clip to uint8
+
+The per-row (per-column) variable shift is done as a barrel shifter: 9
+conditional `pltpu.roll` steps of 1, 2, ..., 256 lanes (sublanes), each
+row/column selecting the rolled value when the corresponding bit of its
+shift count is set. All three passes stay in VMEM — the only HBM traffic is
+the uint8 input and output. Out-of-range sources are filled white *per pass*,
+matching the einsum path's semantics exactly; circular wrap-around from the
+rolls only ever lands on positions the validity mask fills anyway (max |shift|
+~ 0.5·canvas/2 is smaller than the pad margin).
+
+Numerics match `rotate_warp` to f32 rounding (same 2-tap triangle weights);
+golden tests compare both against each other and against PIL.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_LANE = 128
+_SUBLANE = 8
+
+
+def _pad_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _shift_pass(x: Array, shift_per: Array, frac_per: Array, axis: int,
+                valid_src: Array, fill: float) -> Array:
+    """One shear pass over a VMEM-resident canvas.
+
+    x: [H, W] f32. shift_per: int32 shifts (mod axis length), shaped [H, 1]
+    for axis=1 (row shifts) or [1, W] for axis=0 (column shifts). frac_per:
+    matching fractional lerp weights in [0, 1). valid_src: [H, W] bool, True
+    where the *real-valued* source position is inside the canvas.
+    """
+    dim = x.shape[axis]
+    n_bits = max(1, math.ceil(math.log2(dim)))
+    for b in range(n_bits):
+        step = 1 << b
+        if step >= dim:
+            break
+        bit_on = ((shift_per >> b) & 1) == 1
+        rolled = pltpu.roll(x, (-step) % dim, axis)   # out[i] = x[i + step]
+        x = jnp.where(bit_on, rolled, x)
+    # 2-tap triangle (bilinear) lerp: in[k] * (1-f) + in[k+1] * f
+    nxt = pltpu.roll(x, (-1) % dim, axis)
+    out = x * (1.0 - frac_per) + nxt * frac_per
+    return jnp.where(valid_src, out, fill)
+
+
+def _rotate_kernel(angle_ref, img_ref, out_ref, a_ref, b_ref, *,
+                   in_hw: Tuple[int, int], canvas_hw: Tuple[int, int],
+                   fill: float):
+    in_h, in_w = in_hw
+    oh, ow = canvas_hw
+    ph, pw = a_ref.shape  # padded scratch dims
+
+    theta = angle_ref[pl.program_id(0)] * (math.pi / 180.0)
+    t = -jnp.tan(theta / 2.0)   # row-pass shear coefficient
+    s = jnp.sin(theta)          # column-pass shear coefficient
+    cy = (oh - 1) / 2.0
+    cx = (ow - 1) / 2.0
+
+    # place input centered on a white canvas (scratch A)
+    pad_y0 = (oh - in_h) // 2
+    pad_x0 = (ow - in_w) // 2
+    a_ref[:] = jnp.full((ph, pw), fill, jnp.float32)
+    # Mosaic has no direct u8<->f32 casts; hop through int32.
+    a_ref[pad_y0:pad_y0 + in_h, pad_x0:pad_x0 + in_w] = (
+        img_ref[0, 0].astype(jnp.int32).astype(jnp.float32))
+
+    # tpu.iota is integer-only; build int32 and convert
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ph, 1), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, pw), 1).astype(jnp.float32)
+
+    def row_pass(src: Array, sh: Array) -> Array:
+        """out[y, x] = src[y, x + sh·(y - cy)] with white fill."""
+        g = sh * (rows - cy)                      # [ph, 1] real shifts
+        k = jnp.floor(g)
+        frac = g - k
+        kmod = k.astype(jnp.int32) % pw
+        src_x = cols + g                          # [ph, pw] source positions
+        valid = (src_x >= 0.0) & (src_x <= ow - 1.0)
+        return _shift_pass(src, kmod, frac, 1, valid, fill)
+
+    def col_pass(src: Array, sh: Array) -> Array:
+        """out[y, x] = src[y + sh·(x - cx), x] with white fill."""
+        g = sh * (cols - cx)                      # [1, pw]
+        k = jnp.floor(g)
+        frac = g - k
+        kmod = k.astype(jnp.int32) % ph
+        src_y = rows + g
+        valid = (src_y >= 0.0) & (src_y <= oh - 1.0)
+        return _shift_pass(src, kmod, frac, 0, valid, fill)
+
+    b_ref[:] = row_pass(a_ref[:], t)
+    a_ref[:] = col_pass(b_ref[:], s)
+    final = row_pass(a_ref[:], t)
+    out_ref[0, 0] = (jnp.clip(jnp.round(final), 0.0, 255.0)
+                     .astype(jnp.int32).astype(jnp.uint8))
+
+
+@partial(jax.jit, static_argnames=("canvas_hw", "fill", "interpret"))
+def rotate_batch_pallas(imgs: Array, angles_deg: Array,
+                        canvas_hw: Tuple[int, int], fill: float = 255.0,
+                        interpret: bool = False) -> Array:
+    """Batched expand-canvas rotation: uint8 NHWC [B, h, w, 3] + per-image
+    angles (degrees, PIL CCW convention) → uint8 [B, OH, OW, 3].
+
+    Drop-in for the einsum `rotate_warp` path at |angle| < ~60° (the
+    augmentation op uses ±30°). One pallas program per (image, channel);
+    everything between the uint8 load and the uint8 store stays in VMEM.
+    """
+    n, in_h, in_w, c = imgs.shape
+    oh, ow = canvas_hw
+    ph = _pad_to(oh, _SUBLANE)
+    pw = _pad_to(ow, _LANE)
+
+    nchw = jnp.transpose(imgs, (0, 3, 1, 2))      # [B, C, h, w] u8
+    angles1d = angles_deg.astype(jnp.float32).reshape(n)
+
+    out = pl.pallas_call(
+        partial(_rotate_kernel, in_hw=(in_h, in_w), canvas_hw=(oh, ow),
+                fill=fill),
+        grid=(n, c),
+        in_specs=[
+            # whole angle vector in SMEM; the kernel indexes by program id
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, in_h, in_w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ph, pw), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c, ph, pw), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((ph, pw), jnp.float32),
+            pltpu.VMEM((ph, pw), jnp.float32),
+        ],
+        interpret=interpret,
+    )(angles1d, nchw)
+
+    return jnp.transpose(out[:, :, :oh, :ow], (0, 2, 3, 1))

@@ -1,0 +1,61 @@
+"""Pallas barrel-shift rotate: interpret-mode parity with the einsum path.
+
+The TPU kernel (`ops/pallas/rotate.py`) must agree with the matmul
+Paeth rotation (`ops/resample.rotate_warp`) to f32 rounding — both
+implement the same 3-shear decomposition with 2-tap triangle weights and
+per-pass white fill. PIL-level parity is covered transitively by
+`tests/test_augment.py`'s rotate golden tests against the einsum path.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from leaffliction_tpu.ops.augment import rotate_canvas_hw  # noqa: E402
+from leaffliction_tpu.ops.pallas.rotate import rotate_batch_pallas  # noqa: E402
+from leaffliction_tpu.ops.resample import rotate_warp  # noqa: E402
+
+
+def _einsum_reference(imgs: np.ndarray, angles: np.ndarray, canvas):
+    out = []
+    for img, ang in zip(imgs, angles):
+        o = rotate_warp(jnp.asarray(img).astype(jnp.float32), ang,
+                        canvas, fill=255.0)
+        out.append(np.clip(np.round(np.asarray(o)), 0, 255).astype(np.uint8))
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("hw", [(64, 64), (48, 80)])
+def test_pallas_rotate_matches_einsum(hw):
+    h, w = hw
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (3, h, w, 3), np.uint8)
+    angles = np.array([-29.5, 0.0, 17.3], np.float32)
+    canvas = rotate_canvas_hw(h, w)
+
+    ref = _einsum_reference(imgs, angles, canvas)
+    got = np.asarray(rotate_batch_pallas(
+        jnp.asarray(imgs), jnp.asarray(angles), canvas, interpret=True))
+
+    assert got.shape == ref.shape
+    diff = np.abs(ref.astype(int) - got.astype(int))
+    # identical 2-tap weights; differences are f32 summation-order rounding
+    assert diff.max() <= 2
+    assert (diff > 1).mean() < 0.002
+
+
+def test_pallas_rotate_zero_angle_identity():
+    h = w = 32
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (1, h, w, 3), np.uint8)
+    canvas = rotate_canvas_hw(h, w)
+    out = np.asarray(rotate_batch_pallas(
+        jnp.asarray(imgs), jnp.zeros((1,), np.float32), canvas,
+        interpret=True))[0]
+    oh, ow = canvas
+    y0, x0 = (oh - h) // 2, (ow - w) // 2
+    np.testing.assert_array_equal(out[y0:y0 + h, x0:x0 + w], imgs[0])
+    # the border is the white fill
+    assert (out[0] == 255).all() and (out[:, 0] == 255).all()

@@ -24,6 +24,12 @@ from __future__ import annotations
 import os
 import sys
 
+# Launched as `python tools/multihost_smoke.py`, so sys.path[0] is tools/;
+# make the repo root (and thus the package) importable regardless of cwd.
+_REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
 
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
