@@ -97,12 +97,14 @@ def _rotate_one(key: Array, img: Array, canvas: Tuple[int, int]) -> Tuple[Array,
     return out, angle
 
 
-def _use_pallas_rotate() -> bool:
-    """Pallas barrel-shift rotate on TPU (the matmul path is MXU-starved at
-    C=3); env LEAF_PALLAS_ROTATE=0/1 overrides."""
+def _use_pallas_warps() -> bool:
+    """Pallas barrel-shift warps (rotate/shear) on TPU — the matmul path is
+    MXU-starved at C=3. Env LEAF_PALLAS_WARPS=0/1 (legacy alias
+    LEAF_PALLAS_ROTATE) overrides."""
     import os
 
-    flag = os.environ.get("LEAF_PALLAS_ROTATE")
+    flag = (os.environ.get("LEAF_PALLAS_WARPS")
+            or os.environ.get("LEAF_PALLAS_ROTATE"))
     if flag is not None:
         return flag not in ("0", "false", "")
     return jax.default_backend() == "tpu"
@@ -166,7 +168,7 @@ def rotate_batch(keys: Array, imgs: Array) -> Tuple[Array, Array]:
     """→ (canvas-size batch, angles). Host crops with `pil_expanded_size`."""
     h, w = imgs.shape[1], imgs.shape[2]
     canvas = rotate_canvas_hw(h, w)
-    if _use_pallas_rotate():
+    if _use_pallas_warps():
         from leaffliction_tpu.ops.pallas.rotate import rotate_batch_pallas
 
         angles = jax.vmap(
@@ -185,6 +187,16 @@ def skew_batch(keys: Array, imgs: Array) -> Array:
 
 @jax.jit
 def shear_batch(keys: Array, imgs: Array) -> Array:
+    if _use_pallas_warps():
+        from leaffliction_tpu.ops.pallas.rotate import shear_batch_pallas
+
+        def draw(key):
+            k_dir, k_s = jax.random.split(key)   # same stream as _shear_one
+            s = jax.random.uniform(k_s, (), jnp.float32, -0.2, 0.2)
+            return s, jax.random.bernoulli(k_dir)
+
+        shears, horiz = jax.vmap(draw)(keys)
+        return shear_batch_pallas(imgs, shears, horiz, fill=0.0)
     return _to_u8(jax.vmap(_shear_one)(keys, imgs))
 
 

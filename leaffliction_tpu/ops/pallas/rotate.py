@@ -52,6 +52,37 @@ def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _split12(s: Array) -> Tuple[Array, Array]:
+    """Split a small f32 scalar (|s| < 8) into a 12-bit head and tail so that
+    products with integer-valued grids up to ~2^11 are exact (Dekker
+    two-product without FMA). Pure arithmetic — no bitcasts."""
+    hi = jnp.round(s * 4096.0) / 4096.0
+    return hi, s - hi
+
+
+def _scaled_positions(sh: Array, idx: Array, coord: Array,
+                      upper: float) -> Tuple[Array, Array, Array]:
+    """Source positions `coord + sh*idx` with double-precision-faithful
+    boundary tests.
+
+    A single f32 `coord + sh*idx` can flip the sign of a source position that
+    truly sits within 1e-8 of an image edge (e.g. `1 + s*5` with s=-0.2),
+    turning PIL's fill pixel into an edge sample or vice versa. Computing the
+    product in exact 12-bit pieces makes the cancellation near each boundary
+    exact, so the validity decision matches the reference's double math.
+
+    Returns (pos, valid) where pos ~= coord + sh*idx and valid is a
+    sign-exact test of 0 <= pos <= upper (each bound evaluated with its own
+    exact cancellation).
+    """
+    hi, lo = _split12(sh)
+    p_hi = hi * idx                       # exact: 12-bit x 12-bit grid
+    p_lo = lo * idx
+    pos = (coord + p_hi) + p_lo           # cancellation near 0 is exact
+    high = ((coord - upper) + p_hi) + p_lo  # cancellation near `upper` exact
+    return pos, (pos >= 0.0) & (high <= 0.0)
+
+
 def _shift_pass(x: Array, shift_per: Array, frac_per: Array, axis: int,
                 valid_src: Array, fill: float) -> Array:
     """One shear pass over a VMEM-resident canvas.
@@ -105,27 +136,95 @@ def _rotate_kernel(angle_ref, img_ref, out_ref, a_ref, b_ref, *,
         """out[y, x] = src[y, x + sh·(y - cy)] with white fill."""
         g = sh * (rows - cy)                      # [ph, 1] real shifts
         k = jnp.floor(g)
-        frac = g - k
-        kmod = k.astype(jnp.int32) % pw
-        src_x = cols + g                          # [ph, pw] source positions
-        valid = (src_x >= 0.0) & (src_x <= ow - 1.0)
-        return _shift_pass(src, kmod, frac, 1, valid, fill)
+        _, valid = _scaled_positions(sh, rows - cy, cols, ow - 1.0)
+        return _shift_pass(src, k.astype(jnp.int32) % pw, g - k,
+                           1, valid, fill)
 
     def col_pass(src: Array, sh: Array) -> Array:
         """out[y, x] = src[y + sh·(x - cx), x] with white fill."""
         g = sh * (cols - cx)                      # [1, pw]
         k = jnp.floor(g)
-        frac = g - k
-        kmod = k.astype(jnp.int32) % ph
-        src_y = rows + g
-        valid = (src_y >= 0.0) & (src_y <= oh - 1.0)
-        return _shift_pass(src, kmod, frac, 0, valid, fill)
+        _, valid = _scaled_positions(sh, cols - cx, rows, oh - 1.0)
+        return _shift_pass(src, k.astype(jnp.int32) % ph, g - k,
+                           0, valid, fill)
 
     b_ref[:] = row_pass(a_ref[:], t)
     a_ref[:] = col_pass(b_ref[:], s)
     final = row_pass(a_ref[:], t)
     out_ref[0, 0] = (jnp.clip(jnp.round(final), 0.0, 255.0)
                      .astype(jnp.int32).astype(jnp.uint8))
+
+
+def _shear_kernel(shr_ref, shc_ref, img_ref, out_ref, a_ref, b_ref, *,
+                  in_hw: Tuple[int, int], fill: float):
+    """Origin-anchored PIL shear ([1,s,0,0,1,0] / [1,0,0,s,1,0]) as two
+    barrel-shift passes; the inactive direction's coefficient is zero, which
+    makes that pass an exact identity (shift 0, frac 0, all-valid)."""
+    in_h, in_w = in_hw
+    ph, pw = a_ref.shape
+    i = pl.program_id(0)
+    sh_r = shr_ref[i]   # row-pass coefficient  (s when horizontal, else 0)
+    sh_c = shc_ref[i]   # column-pass coefficient
+
+    a_ref[:] = jnp.full((ph, pw), fill, jnp.float32)
+    a_ref[0:in_h, 0:in_w] = img_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ph, 1), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, pw), 1).astype(jnp.float32)
+
+    g_r = sh_r * rows                       # src_x = x + s·y
+    k_r = jnp.floor(g_r)
+    _, valid_r = _scaled_positions(sh_r, rows, cols, in_w - 1.0)
+    b_ref[:] = _shift_pass(a_ref[:], k_r.astype(jnp.int32) % pw, g_r - k_r,
+                           1, valid_r, fill)
+
+    g_c = sh_c * cols                       # src_y = y + s·x
+    k_c = jnp.floor(g_c)
+    _, valid_c = _scaled_positions(sh_c, cols, rows, in_h - 1.0)
+    final = _shift_pass(b_ref[:], k_c.astype(jnp.int32) % ph, g_c - k_c,
+                        0, valid_c, fill)
+    out_ref[0, 0] = (jnp.clip(jnp.round(final), 0.0, 255.0)
+                     .astype(jnp.int32).astype(jnp.uint8))
+
+
+@partial(jax.jit, static_argnames=("fill", "interpret"))
+def shear_batch_pallas(imgs: Array, shears: Array, horizontal: Array,
+                       fill: float = 0.0, interpret: bool = False) -> Array:
+    """Batched PIL-affine shear: uint8 NHWC [B, h, w, 3], per-image shear
+    coefficients and direction flags → uint8 [B, h, w, 3].
+
+    Matches `ops/resample.shear_warp` (which computes both passes and
+    selects); here the direction is folded into the pass coefficients so
+    both passes always run but the inactive one is an identity shift.
+    """
+    n, h, w, c = imgs.shape
+    ph = _pad_to(h, _SUBLANE)
+    pw = _pad_to(w, _LANE)
+    horiz_f = horizontal.astype(jnp.float32)
+    sh_rows = (shears * horiz_f).astype(jnp.float32).reshape(n)
+    sh_cols = (shears * (1.0 - horiz_f)).astype(jnp.float32).reshape(n)
+    nchw = jnp.transpose(imgs, (0, 3, 1, 2))
+
+    out = pl.pallas_call(
+        partial(_shear_kernel, in_hw=(h, w), fill=fill),
+        grid=(n, c),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ph, pw), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c, ph, pw), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((ph, pw), jnp.float32),
+            pltpu.VMEM((ph, pw), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sh_rows, sh_cols, nchw)
+
+    return jnp.transpose(out[:, :, :h, :w], (0, 2, 3, 1))
 
 
 @partial(jax.jit, static_argnames=("canvas_hw", "fill", "interpret"))

@@ -118,19 +118,52 @@ def scale_translate_warp(img: Array, scale_xy: Array, offset_xy: Array,
                          out_hw: Tuple[int, int],
                          fill: float | None = None) -> Array:
     """Axis-aligned affine (skew/crop ops): x_src = sx·x + ox, y_src = sy·y + oy.
-    Two independent matmul passes."""
+
+    The source position depends only on the *output* coordinate, so each pass
+    shares ONE [K, out] weight matrix across every row (unlike shear/rotate,
+    whose shifts vary per row). Building it once turns the pass into a plain
+    [rows·C, K] x [K, out] matmul at full MXU width — the per-row-weights
+    einsum only lights up C=3 of the MXU's 128 result rows.
+    """
     out_h, out_w = out_hw
     x = img.astype(jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)
     ys = jnp.arange(out_h, dtype=jnp.float32)
     sx, sy = scale_xy[0], scale_xy[1]
     ox, oy = offset_xy[0], offset_xy[1]
+
+    def shared_weights(src: Array, k_dim: int) -> Tuple[Array, Array]:
+        k = jnp.arange(k_dim, dtype=jnp.float32)
+        pos = src if fill is not None else jnp.clip(src, 0.0, k[-1])
+        w = _tri(k[:, None] - pos[None, :])          # [K, out]
+        inb = (src >= 0.0) & (src <= k[-1])
+        return w, inb
+
     # vertical first (no column dependence)
-    src_y = jnp.broadcast_to((sy * ys + oy)[None, :],
-                             (x.shape[1], out_h))  # [W_src, H_out]
-    mid = col_resample(x, src_y, fill)
-    src_x = jnp.broadcast_to((sx * xs + ox)[None, :], (out_h, out_w))
-    return row_resample(mid, src_x, fill)
+    wy, inb_y = shared_weights(sy * ys + oy, x.shape[0])
+    if x.ndim == 2:
+        mid = jnp.einsum("kx,kz->zx", x, wy,
+                         preferred_element_type=jnp.float32)
+        mask_y = inb_y[:, None]
+    else:
+        mid = jnp.einsum("kxc,kz->zxc", x, wy,
+                         preferred_element_type=jnp.float32)
+        mask_y = inb_y[:, None, None]
+    if fill is not None:
+        mid = jnp.where(mask_y, mid, fill)
+
+    wx, inb_x = shared_weights(sx * xs + ox, x.shape[1])
+    if x.ndim == 2:
+        out = jnp.einsum("hk,kx->hx", mid, wx,
+                         preferred_element_type=jnp.float32)
+        mask_x = inb_x[None, :]
+    else:
+        out = jnp.einsum("hkc,kx->hxc", mid, wx,
+                         preferred_element_type=jnp.float32)
+        mask_x = inb_x[None, :, None]
+    if fill is not None:
+        out = jnp.where(mask_x, out, fill)
+    return out
 
 
 @partial(jax.jit, static_argnames=("out_hw", "fill"))
