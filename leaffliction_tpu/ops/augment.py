@@ -205,8 +205,32 @@ def crop_batch(keys: Array, imgs: Array) -> Array:
     return _to_u8(jax.vmap(_crop_one)(keys, imgs))
 
 
+def _use_pallas_distortion() -> bool:
+    """Opt-in (LEAF_PALLAS_DISTORT=1). Measured head-to-head with a chained
+    device-resident loop the fused Pallas kernel runs 1.29 ms/batch-128 vs
+    0.97 ms for the XLA path once autocontrast uses the binary-search
+    quantiles — the Irwin-Hall PRNG passes cost more than XLA's fused
+    threefry. Kept for hosts where the native per-core PRNG wins."""
+    import os
+
+    return os.environ.get("LEAF_PALLAS_DISTORT", "") not in ("", "0", "false")
+
+
 @jax.jit
 def distortion_batch(keys: Array, imgs: Array) -> Array:
+    if _use_pallas_distortion() and imgs.shape[1] % 8 == 0:
+        from leaffliction_tpu.ops.pallas.distortion import (
+            distortion_batch_pallas,
+        )
+
+        def draw(key):
+            k_noise, k_cut = jax.random.split(key)  # same stream split
+            seeds = jax.random.bits(k_noise, (imgs.shape[-1],), jnp.uint32)
+            cutoff = jax.random.uniform(k_cut, (), jnp.float32, 0.0, 2.0)
+            return seeds.astype(jnp.int32), cutoff
+
+        seeds, cutoffs = jax.vmap(draw)(keys)
+        return distortion_batch_pallas(imgs, seeds, cutoffs)
     return _to_u8(jax.vmap(_distortion_one)(keys, imgs))
 
 

@@ -42,21 +42,37 @@ def autocontrast(img: Array, cutoff_percent: Array | float = 0.0) -> Array:
     x = img.astype(jnp.float32)
     flat = x.reshape(-1, x.shape[-1])  # [P, C]
     n, c = flat.shape
-    # hist[b, ch]: compare-and-matmul instead of scatter-add — XLA fuses the
-    # on-the-fly one-hot into MXU tiles (~17x faster than scatter on TPU)
-    q = jnp.clip(jnp.round(flat), 0, 255)
-    bins = jnp.arange(256, dtype=jnp.float32)
-    onehot = (q[:, :, None] == bins[None, None, :]).astype(jnp.float32)
-    hist = jnp.einsum("pcb,p->bc", onehot, jnp.ones((n,), jnp.float32),
-                      preferred_element_type=jnp.float32)
-    cdf = jnp.cumsum(hist, axis=0)
+    q = jnp.clip(jnp.round(flat), 0, 255).astype(jnp.int32).astype(jnp.uint8)
     cut = jnp.asarray(cutoff_percent, jnp.float32) * n / 100.0
-    # lo: first bin with cdf > cut ; hi: last bin with (n - cdf_prev) > cut
-    lo_mask = cdf > cut
-    lo = jnp.argmax(lo_mask, axis=0).astype(jnp.float32)
-    cdf_rev = jnp.cumsum(hist[::-1], axis=0)
-    hi_rev = jnp.argmax(cdf_rev > cut, axis=0).astype(jnp.float32)
-    hi = 255.0 - hi_rev
+    # PIL walks the histogram for the first/last bin past the cutoff, but
+    # only those two quantile bins are ever used — so instead of a 256-bin
+    # histogram (256 compares/pixel), binary-search the monotone predicates
+    # count(q <= v) > cut and count(q >= v) > cut: 8 iterations, each ONE
+    # uint8 read of the image for both bounds.
+    #   lo = min v with count(q <= v) > cut  (== first bin with cdf > cut)
+    #   hi = max v with count(q >= v) > cut  (== last bin of reverse cdf)
+
+    def step(_, state):
+        lo_lo, lo_hi, hi_lo, hi_hi = state  # answer invariants per search
+        lo_mid = (lo_lo + lo_hi) // 2
+        hi_mid = (hi_lo + hi_hi + 1) // 2
+        cnt_le = jnp.sum((q <= lo_mid[None, :].astype(jnp.uint8))
+                         .astype(jnp.float32), axis=0)
+        cnt_ge = jnp.sum((q >= hi_mid[None, :].astype(jnp.uint8))
+                         .astype(jnp.float32), axis=0)
+        lo_take = cnt_le > cut
+        hi_take = cnt_ge > cut
+        return (jnp.where(lo_take, lo_lo, lo_mid + 1),
+                jnp.where(lo_take, lo_mid, lo_hi),
+                jnp.where(hi_take, hi_mid, hi_lo),
+                jnp.where(hi_take, hi_hi, hi_mid - 1))
+
+    zeros = jnp.zeros((c,), jnp.int32)
+    full = jnp.full((c,), 255, jnp.int32)
+    lo_b, _, hi_b, _ = jax.lax.fori_loop(0, 8, step,
+                                         (zeros, full, zeros, full))
+    lo = lo_b.astype(jnp.float32)
+    hi = hi_b.astype(jnp.float32)
     scale = jnp.where(hi > lo, 255.0 / jnp.maximum(hi - lo, 1e-6), 1.0)
     offset = jnp.where(hi > lo, -lo * scale, 0.0)
     out = x * scale[None, None, :] + offset[None, None, :]

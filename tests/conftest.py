@@ -8,18 +8,24 @@ before jax initializes its backends, hence module scope here.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_ON_TPU = os.environ.get("LEAF_TEST_TPU", "") not in ("", "0")
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 # The environment's axon sitecustomize force-registers the TPU backend and
 # re-exports JAX_PLATFORMS=axon; config.update wins over both.
+# LEAF_TEST_TPU=1 opts out of the CPU forcing so hardware-only tests
+# (e.g. the native-PRNG Pallas kernels) can run against the real chip.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import tempfile  # noqa: E402
 
