@@ -64,28 +64,31 @@ def bench_device() -> float:
     @jax.jit
     def fused_rounds(imgs, seed):
         """R rounds × 6 ops inside ONE program (lax.scan) → one dispatch,
-        one scalar out. Relay RTT is paid once, not per kernel call."""
+        one scalar out. Relay RTT is paid once, not per kernel call.
+
+        Each op's output feeds the next op (rotate's expanded canvas is
+        center-cropped back to IMG²), so every kernel's full output is
+        data-consumed — nothing for XLA to dead-code-eliminate — while the
+        checksum is paid once per call, not per op. (The previous
+        per-op strided-slice checksums cost ~3 ms each on the relay chip,
+        half the reported per-op time.)"""
         base_key = jax.random.wrap_key_data(seed)
 
-        def round_fn(acc, i):
+        def round_fn(x, i):
             keys = jax.random.split(jax.random.fold_in(base_key, i),
                                     DEVICE_BATCH)
-            outs = [
-                flip_batch(keys, imgs),
-                rotate_batch(keys, imgs)[0],
-                skew_batch(keys, imgs),
-                shear_batch(keys, imgs),
-                crop_batch(keys, imgs),
-                distortion_batch(keys, imgs),
-            ]
-            for out in outs:
-                acc = acc + jnp.sum(out[:, ::64, ::64, :]
-                                    .astype(jnp.float32))
-            return acc, None
+            x = flip_batch(keys, x)
+            x = skew_batch(keys, x)
+            x = shear_batch(keys, x)
+            x = crop_batch(keys, x)
+            x = distortion_batch(keys, x)
+            rot = rotate_batch(keys, x)[0]
+            oy = (rot.shape[1] - IMG) // 2
+            ox = (rot.shape[2] - IMG) // 2
+            return rot[:, oy:oy + IMG, ox:ox + IMG, :], None
 
-        acc, _ = jax.lax.scan(round_fn, jnp.zeros((), jnp.float32),
-                              jnp.arange(ROUNDS))
-        return acc
+        out, _ = jax.lax.scan(round_fn, imgs, jnp.arange(ROUNDS))
+        return jnp.sum(out.astype(jnp.float32))
 
     imgs_dev = jax.device_put(images)
     seed = jax.random.key_data(jax.random.key(42))
