@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from leaffliction_tpu.models.leafcnn import SEBlock
+from leaffliction_tpu.models.leafcnn import SEBlock, space_to_depth
 
 Array = jax.Array
 
@@ -60,7 +60,17 @@ class BasicBlock(nn.Module):
 
 
 class LeafResNet(nn.Module):
-    """Input: N×H×W×3 float [0,1]. Output: logits N×K (LeafCNN contract)."""
+    """Input: N×H×W×3 float [0,1]. Output: logits N×K (LeafCNN contract).
+
+    `stem="conv"` is the classic 7×7/2 + 3×3-maxpool/2 stem; `stem="s2d"`
+    is a patchify stem — 4×4 space-to-depth then a 2×2 stride-1 conv —
+    reaching the same 56² × widths[0] stage-1 shape. Measured fwd+bwd at
+    b128 @224 the conv stem costs 3.5 ms/step while s2d is ~free: the cost
+    is not the small-C conv itself (an exactly-equivalent s2d(2×2)+4×4
+    conv rebuild measures the same 3.5 ms) but the 112²×64 intermediate
+    the classic stem materializes — ~205 MB per tensor per direction of
+    pure HBM traffic that the patchify stem never creates.
+    """
 
     num_classes: int
     blocks: Sequence[int] = (2, 2, 2, 2)
@@ -68,6 +78,7 @@ class LeafResNet(nn.Module):
     use_se: bool = True
     use_norm: bool = True
     drop_top: float = 0.2
+    stem: str = "conv"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -80,13 +91,22 @@ class LeafResNet(nn.Module):
             x = (x - mean.value) * jax.lax.rsqrt(var.value + 1e-7)
         x = x.astype(self.dtype)
 
-        # stem: 7x7/2 + maxpool/2 (224 → 56)
-        x = nn.Conv(self.widths[0], (7, 7), strides=(2, 2), padding="SAME",
-                    use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype)(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        if self.stem == "s2d":
+            # patchify: 224²×3 → 56²×48 → 2×2/1 conv (never touches 112²)
+            x = space_to_depth(x, 4)
+            x = nn.Conv(self.widths[0], (2, 2), padding="SAME",
+                        use_bias=False, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype)(x)
+            x = nn.relu(x)
+        else:
+            # stem: 7x7/2 + maxpool/2 (224 → 56)
+            x = nn.Conv(self.widths[0], (7, 7), strides=(2, 2),
+                        padding="SAME", use_bias=False, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
         for stage, (n_blocks, width) in enumerate(zip(self.blocks,
                                                       self.widths)):
@@ -106,10 +126,12 @@ def build_resnet(
     num_classes: int,
     preset: str = "resnet18",
     use_norm: bool = True,
+    stem: str = "conv",
     dtype: Any = jnp.bfloat16,
 ) -> LeafResNet:
     spec = RESNET_PRESETS[preset]
     return LeafResNet(
         num_classes=num_classes, blocks=tuple(spec["blocks"]),
-        widths=tuple(spec["widths"]), use_norm=use_norm, dtype=dtype,
+        widths=tuple(spec["widths"]), use_norm=use_norm, stem=stem,
+        dtype=dtype,
     )

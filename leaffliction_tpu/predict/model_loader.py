@@ -47,6 +47,7 @@ class ModelLoader:
             self.model = build_resnet(
                 num_classes=self.num_classes, preset=arch,
                 use_norm=bool(mcfg.get("use_normalization", True)),
+                stem=mcfg.get("stem", "conv"),
                 dtype=dtype,
             )
         else:

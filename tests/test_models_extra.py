@@ -100,6 +100,63 @@ def test_resnet_forward_and_grad():
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
 
 
+def test_resnet_s2d_stem_shapes_and_grad():
+    from leaffliction_tpu.models.resnet import build_resnet
+
+    model = build_resnet(num_classes=6, preset="resnet10", stem="s2d",
+                         dtype=jnp.float32)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    logits = model.apply(variables, x, train=False)
+    assert logits.shape == (2, 6)
+
+    # same total downsampling as the conv stem: stage-1 input is H/4
+    conv = build_resnet(num_classes=6, preset="resnet10", stem="conv",
+                        dtype=jnp.float32)
+    vc = conv.init(jax.random.key(0), x, train=False)
+    assert model.apply(variables, x, train=False).shape == \
+        conv.apply(vc, x, train=False).shape
+
+    def loss(params):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"],
+             "norm_stats": variables.get("norm_stats", {})},
+            x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(1)})[0]
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree_util.tree_leaves(g))
+
+
+def test_model_loader_rebuilds_resnet_s2d(tmp_path):
+    import json
+
+    from leaffliction_tpu.models.resnet import build_resnet
+    from leaffliction_tpu.predict.model_loader import ModelLoader
+    from leaffliction_tpu.train.checkpoint import save_model_msgpack
+
+    model = build_resnet(num_classes=3, preset="resnet10", stem="s2d",
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    save_model_msgpack(tmp_path / "leaf_cnn.msgpack", variables["params"],
+                       variables.get("batch_stats", {}),
+                       variables.get("norm_stats", {}))
+    (tmp_path / "meta.json").write_text(json.dumps({
+        "model_file": "leaf_cnn.msgpack",
+        "labels": ["a", "b", "c"],
+        "data": {"img_size": 64, "num_classes": 3},
+        "model": {"name": "resnet10", "stem": "s2d",
+                  "use_normalization": True},
+        "training": {"mixed_precision": False},
+    }))
+    loader = ModelLoader(tmp_path).load()
+    logits = loader.model.apply(loader.variables, x, train=False)
+    assert logits.shape == (1, 3)
+
+
 def test_resnet_trains_with_step_fns():
     from leaffliction_tpu.models.resnet import build_resnet
     from leaffliction_tpu.parallel.mesh import MeshSpec, make_mesh
