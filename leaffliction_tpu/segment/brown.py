@@ -14,7 +14,11 @@ import jax
 import jax.numpy as jnp
 
 from leaffliction_tpu.ops.colorspace import rgb_to_hsv, rgb_to_lab
-from leaffliction_tpu.ops.components import label_components
+from leaffliction_tpu.ops.components import (
+    _lookup_2d,
+    _sizes_2d,
+    label_components,
+)
 from leaffliction_tpu.ops.morphology import closing, opening
 from leaffliction_tpu.segment.config import TransformConfig
 
@@ -42,11 +46,9 @@ def brown_regions(rgb: Array, leaf_mask: Array,
     clean = closing(clean, k, "ellipse")
 
     labels = label_components(clean)
-    h, w = labels.shape
-    sizes = jnp.zeros((h * w + 1,), jnp.int32).at[labels.reshape(-1)].add(1)
+    sizes = _sizes_2d(labels)  # scatter/gather-free (see ops/components.py)
     keep = sizes >= cfg.brown_min_area_px
-    keep = keep.at[0].set(False)
-    filtered = keep[labels]
+    filtered = _lookup_2d(labels, keep) & (labels > 0)
 
     count = jnp.sum(keep)
     total_area = jnp.sum(filtered)

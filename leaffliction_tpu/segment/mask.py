@@ -121,7 +121,7 @@ def _cand_kmeans(rgb: Array, cfg: TransformConfig) -> Array:
     """k=3 k-means over a downscaled image; cluster pick follows
     `mask.py:126-138` (bias → brightness, else green score, else saturation)."""
     h, w = rgb.shape[0], rgb.shape[1]
-    scale = 256.0 / max(h, w)
+    scale = min(1.0, 256.0 / max(h, w))  # downscale only, like the reference
     sh, sw = max(1, int(h * scale)), max(1, int(w * scale))
     small = jax.image.resize(rgb.astype(jnp.float32), (sh, sw, 3), "linear")
     labels, centers = kmeans_pixels(small, k=3, iters=10, seed=12345)
