@@ -21,28 +21,14 @@ from leaffliction_tpu.ops.resample import rotate_warp
 Array = jax.Array
 
 
-def _augment_one(key: Array, img: Array,
-                 rotation_frac: float, contrast_delta: float) -> Array:
+def _draw_params(key: Array, rotation_frac: float, contrast_delta: float):
     k_flip, k_rot, k_con = jax.random.split(key, 3)
-    h, w = img.shape[0], img.shape[1]
-
-    # horizontal flip, p=0.5
     do_flip = jax.random.bernoulli(k_flip)
-    img = jnp.where(do_flip, img[:, ::-1, :], img)
-
-    # rotation: U(-frac, frac) * 360 degrees; edge-clamp fill (vs Keras
-    # reflect — tolerance-level delta for stochastic augmentation), via the
-    # MXU 3-shear path rather than a gather warp
     angle = jax.random.uniform(k_rot, (), jnp.float32,
                                -rotation_frac * 360.0, rotation_frac * 360.0)
-    img = rotate_warp(img, angle, (h, w), fill=None)
-
-    # contrast: factor U(1-delta, 1+delta) about per-channel mean
     factor = jax.random.uniform(k_con, (), jnp.float32,
                                 1.0 - contrast_delta, 1.0 + contrast_delta)
-    mean = jnp.mean(img, axis=(0, 1), keepdims=True)
-    img = jnp.clip(mean + (img - mean) * factor, 0.0, 1.0)
-    return img
+    return do_flip, angle, factor
 
 
 @partial(jax.jit, static_argnames=("rotation_frac", "contrast_delta"))
@@ -52,8 +38,33 @@ def train_augment(
     rotation_frac: float = 0.05,
     contrast_delta: float = 0.1,
 ) -> Array:
-    """Apply flip/rotate/contrast to an N×H×W×C float batch, one key per image."""
+    """Apply flip/rotate/contrast to an N×H×W×C float batch, one key per
+    image.
+
+    Rotation is U(-frac, frac)·360° with edge-clamp fill (vs Keras reflect —
+    tolerance-level delta for stochastic augmentation). On TPU it runs in
+    the barrel-shift Pallas kernel (`rotate_batch_pallas_clamp_f32`); the
+    einsum 3-shear costs 5.1 ms per 128×224² batch inside every train step,
+    the kernel ~1 ms. Elsewhere the MXU 3-shear matmul path is used.
+    """
     keys = jax.random.split(key, batch.shape[0])
-    return jax.vmap(
-        lambda k, x: _augment_one(k, x, rotation_frac, contrast_delta)
-    )(keys, batch)
+    do_flip, angles, factors = jax.vmap(
+        lambda k: _draw_params(k, rotation_frac, contrast_delta))(keys)
+
+    flipped = jnp.where(do_flip[:, None, None, None],
+                        batch[:, :, ::-1, :], batch)
+
+    if jax.default_backend() == "tpu" and batch.shape[1] % 8 == 0:
+        from leaffliction_tpu.ops.pallas.rotate import (
+            rotate_batch_pallas_clamp_f32,
+        )
+
+        rotated = rotate_batch_pallas_clamp_f32(flipped, angles)
+    else:
+        h, w = batch.shape[1], batch.shape[2]
+        rotated = jax.vmap(
+            lambda x, a: rotate_warp(x, a, (h, w), fill=None))(flipped, angles)
+
+    mean = jnp.mean(rotated, axis=(1, 2), keepdims=True)
+    return jnp.clip(mean + (rotated - mean) * factors[:, None, None, None],
+                    0.0, 1.0)

@@ -59,3 +59,24 @@ def test_pallas_rotate_zero_angle_identity():
     np.testing.assert_array_equal(out[y0:y0 + h, x0:x0 + w], imgs[0])
     # the border is the white fill
     assert (out[0] == 255).all() and (out[:, 0] == 255).all()
+
+
+def test_pallas_clamp_rotate_matches_einsum():
+    from leaffliction_tpu.ops.pallas.rotate import rotate_batch_pallas_clamp_f32
+
+    h, w = 48, 64
+    rng = np.random.default_rng(2)
+    imgs = rng.random((3, h, w, 3)).astype(np.float32)
+    angles = np.array([-17.0, 0.0, 9.5], np.float32)
+
+    ref = np.stack([
+        np.asarray(rotate_warp(jnp.asarray(im), a, (h, w), fill=None))
+        for im, a in zip(imgs, angles)
+    ])
+    got = np.asarray(rotate_batch_pallas_clamp_f32(
+        jnp.asarray(imgs), jnp.asarray(angles), interpret=True))
+    assert got.shape == ref.shape
+    # same 2-tap weights and clamp semantics; f32 rounding only
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    # zero angle is the identity
+    np.testing.assert_allclose(got[1], imgs[1], atol=1e-6)
