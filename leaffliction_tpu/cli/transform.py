@@ -464,6 +464,11 @@ def main(argv=None) -> None:
         masks: Dict[Path, tuple] = {}
         if needs_mask:
             decoded, masks = _precompute_masks_batched(imgs, cfg)
+        # NOTE: a per-image thread pool was tried here and made folder mode
+        # 2.3x SLOWER on the relay platform (6m35 vs 2m53 for 16 images) —
+        # the relay serializes device calls, so threads only add convoying.
+        # The win comes from async dispatch instead (dispatch every image's
+        # device work before fetching any result; jax dispatch is async).
         for img_path in imgs:
             total_saved += len(process_single_image(
                 ProcessArgs(img_path=img_path, out_dir=dst, types=types,

@@ -10,11 +10,15 @@ summary with health status, hue pie chart.
 
 from __future__ import annotations
 
+import threading
 from typing import Dict
 
 import numpy as np
 
 from leaffliction_tpu.segment.config import TransformConfig
+
+# pyplot state is process-global; folder mode renders from worker threads
+_MPL_LOCK = threading.Lock()
 
 COLOR_KEYS = ("Vert Sain", "Vert Jaunâtre", "Jaune", "Brun/Orange", "Rouge",
               "Zones Sombres", "Zones Claires", "Violet/Pourpre")
@@ -95,7 +99,11 @@ def _device_stats(rgb):
 
 
 def histogram_filter(rgb: np.ndarray, cfg: TransformConfig) -> np.ndarray:
-    """→ RGB uint8 rendering of the analysis figure."""
+    """→ RGB uint8 rendering of the analysis figure.
+
+    The device stats run outside `_MPL_LOCK`; pyplot state is global, so
+    only the figure build is serialized (folder mode threads images to
+    pipeline their relay round-trips)."""
     import jax.numpy as jnp
     import matplotlib
 
@@ -106,6 +114,16 @@ def histogram_filter(rgb: np.ndarray, cfg: TransformConfig) -> np.ndarray:
         np.asarray, _device_stats(jnp.asarray(rgb)))
     color_analysis: Dict[str, float] = dict(zip(COLOR_KEYS, color.tolist()))
 
+    _MPL_LOCK.acquire()
+    try:
+        return _render_figure(plt, color_analysis, h_hist, s_hist, v_hist,
+                              hue_counts, n_mask)
+    finally:
+        _MPL_LOCK.release()
+
+
+def _render_figure(plt, color_analysis, h_hist, s_hist, v_hist,
+                   hue_counts, n_mask) -> np.ndarray:
     fig = plt.figure(figsize=(14, 8))
 
     # 1. color distribution bars (≥1% only)

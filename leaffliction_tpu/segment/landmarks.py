@@ -179,9 +179,15 @@ def _disease_landmarks(vis, rgb, cfg: TransformConfig, mask_bool,
             break
         comp_mask = labels == comp_id
         points_for_comp = max(1, min(area // 40, actual_quota - placed))
+        # max_corners is a STATIC jit arg: bucket it to the next power of
+        # two so folder mode compiles O(log) programs, not one per distinct
+        # request (each remote compile costs 0.5 s-minutes on the relay).
+        # top_k results are sorted, so top-bucket sliced to the request is
+        # identical to requesting exactly.
+        req = max(points_for_comp * 3, 4)
         ys, xs, valid = good_features_to_track(
             gray, jnp.asarray(comp_mask),
-            max_corners=max(points_for_comp * 3, 4),
+            max_corners=1 << (req - 1).bit_length(),
             quality_level=0.005, min_distance=3, block_size=3)
         ys, xs, valid = map(np.asarray, (ys, xs, valid))
         pts = [(int(x), int(y)) for y, x, ok in zip(ys, xs, valid) if ok]

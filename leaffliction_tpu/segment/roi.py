@@ -1,19 +1,71 @@
 """ROI filter (reference `filters/roi.py:20-46`).
 
 Bounding-rect crop of the leaf, letterboxed to roi_size, plus a rectangle
-visualization on the original. The crop/resize runs on device with static
-shapes (dynamic_slice + resize into the letterbox canvas); the rectangle
-drawing is trivial host numpy.
+visualization on the original.
+
+The letterbox resample runs on device with STATIC shapes: the per-image
+crop rectangle is passed as data (traced scalars), and each resample pass
+is a matmul with on-the-fly triangle weights (the `ops/resample.py`
+pattern). The previous `jax.image.resize(roi, (nh, nw, 3))` compiled a new
+program for every distinct bounding box — on the relay TPU that meant one
+remote compile (0.5 s–minutes) per image in folder mode. This version
+compiles once per image shape. Interpolation is plain bilinear, matching
+the reference's cv2 INTER_LINEAR (no antialias).
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import numpy as np
 
 from leaffliction_tpu.segment.config import TransformConfig
 from leaffliction_tpu.segment.contours import bounding_rect_np
+
+
+def _letterbox_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("out_h", "out_w"))
+    def run(img, rect, out_h, out_w):
+        """img [Hs, Ws, 3] f32; rect = [x, y, w, h, ox, oy, nw, nh] f32
+        (host-computed letterbox geometry) → [out_h, out_w, 3] f32 canvas."""
+        x, y, w, h = rect[0], rect[1], rect[2], rect[3]
+        ox, oy, nw, nh = rect[4], rect[5], rect[6], rect[7]
+        hs, ws = img.shape[0], img.shape[1]
+
+        def tri(d):
+            return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+        # output row i ← source row y + (i - oy + 0.5)·h/nh − 0.5 (clamped
+        # into the crop, replicating resize edge handling)
+        ii = jnp.arange(out_h, dtype=jnp.float32)
+        sy = y + (ii - oy + 0.5) * (h / nh) - 0.5
+        sy = jnp.clip(sy, y, y + h - 1.0)
+        in_row = (ii >= oy) & (ii < oy + nh)
+        ks = jnp.arange(hs, dtype=jnp.float32)
+        wy = tri(ks[:, None] - sy[None, :])           # [Hs, out_h]
+
+        jj = jnp.arange(out_w, dtype=jnp.float32)
+        sx = x + (jj - ox + 0.5) * (w / nw) - 0.5
+        sx = jnp.clip(sx, x, x + w - 1.0)
+        in_col = (jj >= ox) & (jj < ox + nw)
+        kx = jnp.arange(ws, dtype=jnp.float32)
+        wx = tri(kx[:, None] - sx[None, :])           # [Ws, out_w]
+
+        mid = jnp.einsum("kwc,ki->iwc", img, wy,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("iwc,wj->ijc", mid, wx,
+                         preferred_element_type=jnp.float32)
+        box = (in_row[:, None] & in_col[None, :])[..., None]
+        return jnp.where(box, out, 0.0)
+
+    return run
+
+
+_letterbox = None
 
 
 def roi_filter(
@@ -24,23 +76,23 @@ def roi_filter(
     """→ (letterboxed ROI canvas, rectangle visualization, (x,y,w,h))."""
     if contour is None:
         return rgb, None, None
-    import jax
     import jax.numpy as jnp
+
+    global _letterbox
+    if _letterbox is None:
+        _letterbox = _letterbox_jit()
 
     x, y, w, h = bounding_rect_np(contour)
     H, W = cfg.roi_size
-    roi = rgb[y:y + h, x:x + w]
-    if roi.size == 0:
+    if w <= 0 or h <= 0:
         return rgb, None, None
 
     scale = min(W / max(w, 1), H / max(h, 1))
     nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
-    resized = np.asarray(jax.image.resize(
-        jnp.asarray(roi, jnp.float32), (nh, nw, 3), "linear", antialias=True))
-    canvas = np.zeros((H, W, 3), rgb.dtype)
     oy, ox = (H - nh) // 2, (W - nw) // 2
-    canvas[oy:oy + nh, ox:ox + nw] = np.clip(np.round(resized), 0, 255
-                                             ).astype(rgb.dtype)
+    rect = jnp.asarray([x, y, w, h, ox, oy, nw, nh], jnp.float32)
+    canvas_f = _letterbox(jnp.asarray(rgb, jnp.float32), rect, H, W)
+    canvas = np.clip(np.round(np.asarray(canvas_f)), 0, 255).astype(rgb.dtype)
 
     vis = np.asarray(rgb).copy()
     t = 2  # rectangle thickness, color (255,0,0) like the reference
