@@ -47,6 +47,18 @@ def _axis_pass_tuple(lab: Array, mask: Array, axis: int) -> Array:
     return jnp.where(mask, jnp.maximum(fwd, bwd), 0)
 
 
+def _use_pallas_cc() -> bool:
+    """In-VMEM Pallas propagation rounds on TPU (LEAF_PALLAS_CC=0/1
+    overrides). The XLA round streams the label canvas through HBM once
+    per scan step; the kernel keeps it in VMEM for the whole round."""
+    import os
+
+    flag = os.environ.get("LEAF_PALLAS_CC")
+    if flag is not None:
+        return flag not in ("0", "false", "")
+    return jax.default_backend() == "tpu"
+
+
 def _propagate(labels: Array, mask: Array, limit: int) -> Array:
     """Spread each component's max label to every pixel of the component.
 
@@ -74,6 +86,25 @@ def _propagate(labels: Array, mask: Array, limit: int) -> Array:
             lab = jnp.where(mask, grown, 0)
             lab = _axis_pass_tuple(lab, mask, 0)
             return _axis_pass_tuple(lab, mask, 1)
+    elif _use_pallas_cc() and labels.ndim == 2 and h % 8 == 0:
+        from leaffliction_tpu.ops.pallas.components import (
+            propagate_round_pallas,
+        )
+
+        bar = (~mask).astype(jnp.int32)
+        segs = [
+            jnp.cumsum(bar, axis=0) << label_bits,
+            jnp.cumsum(bar[::-1, :], axis=0)[::-1, :] << label_bits,
+            jnp.cumsum(bar, axis=1) << label_bits,
+            jnp.cumsum(bar[:, ::-1], axis=1)[:, ::-1] << label_bits,
+        ]
+
+        interp = jax.default_backend() != "tpu"  # forced-on CPU testing
+
+        def step(lab):
+            return propagate_round_pallas(lab, mask, segs[0], segs[1],
+                                          segs[2], segs[3], label_bits,
+                                          interpret=interp)
     else:
         bar = (~mask).astype(jnp.int32)
         segs = [
