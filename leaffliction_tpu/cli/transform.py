@@ -199,14 +199,62 @@ class TransformPipeline:
         return histogram_filter(rgb, self.cfg)
 
 
+def dispatch_filters(rgb, mask_img, contour, types, cfg) -> Dict[str, object]:
+    """Phase 1 of the folder pipeline: launch EVERY device computation the
+    selected filters need for one image, fetching nothing. jax dispatch is
+    async, so a driver that dispatches a window of images before finishing
+    any overlaps each image's relay round-trips with the device work of the
+    others (threads were tried instead and made it 2.3x slower — the relay
+    serializes calls, so only async dispatch pipelines).
+
+    `apply_mask_white` over uint8 input yields integral float32, so feeding
+    the un-rounded device array to the filters is bit-identical to the
+    round-tripped uint8 `masked_rgb` the serial path uses."""
+    import jax.numpy as jnp
+
+    from leaffliction_tpu.segment.analyze import analyze_dispatch
+    from leaffliction_tpu.segment.brown import brown_regions
+    from leaffliction_tpu.segment.blur import blur_filter
+    from leaffliction_tpu.segment.hist import hist_dispatch
+    from leaffliction_tpu.segment.landmarks import landmarks_dispatch
+    from leaffliction_tpu.segment.mask import apply_mask_black, apply_mask_white
+    from leaffliction_tpu.segment.roi import roi_dispatch
+
+    handles: Dict[str, object] = {}
+    if mask_img is None:
+        return handles
+    rgb_dev = jnp.asarray(rgb)
+    mask_dev = jnp.asarray(mask_img > 0)
+    masked_dev = apply_mask_white(rgb_dev, mask_dev)  # integral f32
+    handles["masked"] = masked_dev
+    if "Mask" in types:
+        handles["maskvis"] = apply_mask_black(rgb_dev, mask_dev)
+    if "Blur" in types:
+        handles["blur"] = blur_filter(masked_dev, mask_dev, cfg)
+    if "ROI" in types:
+        handles["roi"] = roi_dispatch(masked_dev, contour, cfg)
+    if "Analyze" in types:
+        handles["edges"] = analyze_dispatch(masked_dev)
+    if "Landmarks" in types:
+        handles["lm"] = landmarks_dispatch(
+            masked_dev, contour, cfg, lambda _rgb: (mask_img, contour))
+    if "Hist" in types:
+        handles["stats"] = hist_dispatch(masked_dev)
+    if "Brown" in types:
+        handles["brown"] = brown_regions(masked_dev, mask_dev, cfg)
+    return handles
+
+
 def process_single_image(params: ProcessArgs, rgb=None,
-                         precomputed_mask=None) -> List[Path]:
+                         precomputed_mask=None, handles=None) -> List[Path]:
     """Run the selected filters for one image.
 
     `precomputed_mask` is an optional (mask, contour) pair — folder mode
     computes masks for the whole directory in device batches first (the
     TPU-native counterpart of the reference's mp.Pool fan-out) and passes
     them here so the per-image pass never re-runs segmentation.
+    `handles` is the optional output of `dispatch_filters` — with it this
+    function only fetches/draws/saves (phase 2).
     """
     if rgb is None:
         try:
@@ -233,10 +281,21 @@ def process_single_image(params: ProcessArgs, rgb=None,
         else:
             mask_img, contour = pipe.make_mask(rgb)
         if mask_img is not None:
-            masked_rgb = pipe.create_masked_rgb(rgb, mask_img)
+            if handles is not None and "masked" in handles:
+                masked_rgb = np.clip(np.round(np.asarray(handles["masked"])),
+                                     0, 255).astype(np.uint8)
+            else:
+                masked_rgb = pipe.create_masked_rgb(rgb, mask_img)
+    handles = handles or {}
 
     if "Mask" in params.types:
-        vis = pipe.mask_vis(rgb, mask_img) if mask_img is not None else rgb
+        if mask_img is None:
+            vis = rgb
+        elif "maskvis" in handles:
+            vis = np.clip(np.asarray(handles["maskvis"]), 0, 255
+                          ).astype(np.uint8)
+        else:
+            vis = pipe.mask_vis(rgb, mask_img)
         filter_results["Mask"] = vis
         out = params.out_dir / names["Mask"]
         if want_write(out):
@@ -244,7 +303,10 @@ def process_single_image(params: ProcessArgs, rgb=None,
             saved.append(out)
 
     if "Blur" in params.types and mask_img is not None:
-        img = pipe.blur(masked_rgb, mask_img)
+        if "blur" in handles:
+            img = np.asarray(handles["blur"]).astype(np.uint8)
+        else:
+            img = pipe.blur(masked_rgb, mask_img)
         filter_results["Blur"] = img
         out = params.out_dir / names["Blur"]
         if want_write(out):
@@ -252,7 +314,10 @@ def process_single_image(params: ProcessArgs, rgb=None,
             saved.append(out)
 
     if "ROI" in params.types:
-        _, roi_vis, _ = pipe.roi(masked_rgb, contour)
+        from leaffliction_tpu.segment.roi import roi_filter
+
+        _, roi_vis, _ = roi_filter(masked_rgb, contour, params.cfg,
+                                   dispatched=handles.get("roi"))
         vis = roi_vis if roi_vis is not None else masked_rgb
         filter_results["ROI"] = vis
         out = params.out_dir / names["ROI"]
@@ -261,7 +326,10 @@ def process_single_image(params: ProcessArgs, rgb=None,
             saved.append(out)
 
     if "Analyze" in params.types:
-        img = pipe.analyze(masked_rgb, mask_img, contour)
+        from leaffliction_tpu.segment.analyze import analyze_filter
+
+        img = analyze_filter(masked_rgb, mask_img, contour, params.cfg,
+                             edges=handles.get("edges"))
         filter_results["Analyze"] = img
         out = params.out_dir / names["Analyze"]
         if want_write(out):
@@ -269,7 +337,12 @@ def process_single_image(params: ProcessArgs, rgb=None,
             saved.append(out)
 
     if "Landmarks" in params.types:
-        img = pipe.pseudolandmarks(masked_rgb, contour)
+        if "lm" in handles:
+            from leaffliction_tpu.segment.landmarks import landmarks_finish
+
+            img = landmarks_finish(masked_rgb, handles["lm"], params.cfg)
+        else:
+            img = pipe.pseudolandmarks(masked_rgb, contour)
         filter_results["Landmarks"] = img
         out = params.out_dir / names["Landmarks"]
         if want_write(out):
@@ -277,7 +350,10 @@ def process_single_image(params: ProcessArgs, rgb=None,
             saved.append(out)
 
     if "Hist" in params.types:
-        img = pipe.histogram_hsv(masked_rgb)
+        from leaffliction_tpu.segment.hist import histogram_filter
+
+        img = histogram_filter(masked_rgb, params.cfg,
+                               stats=handles.get("stats"))
         filter_results["Hist"] = img
         out = params.out_dir / names["Hist"]
         if want_write(out):
@@ -285,7 +361,10 @@ def process_single_image(params: ProcessArgs, rgb=None,
             saved.append(out)
 
     if "Brown" in params.types and mask_img is not None:
-        img, pct, count = pipe.detect_brown_spots(masked_rgb, mask_img)
+        from leaffliction_tpu.segment.brown import brown_filter
+
+        img, pct, count = brown_filter(masked_rgb, mask_img > 0, params.cfg,
+                                       regions=handles.get("brown"))
         LOGGER.info("Brown spots detected: %d regions, %.1f%% of leaf area",
                     count, pct)
         filter_results["Brown"] = img
@@ -464,18 +543,31 @@ def main(argv=None) -> None:
         masks: Dict[Path, tuple] = {}
         if needs_mask:
             decoded, masks = _precompute_masks_batched(imgs, cfg)
-        # NOTE: a per-image thread pool was tried here and made folder mode
-        # 2.3x SLOWER on the relay platform (6m35 vs 2m53 for 16 images) —
-        # the relay serializes device calls, so threads only add convoying.
-        # The win comes from async dispatch instead (dispatch every image's
-        # device work before fetching any result; jax dispatch is async).
-        for img_path in imgs:
-            total_saved += len(process_single_image(
-                ProcessArgs(img_path=img_path, out_dir=dst, types=types,
-                            cfg=cfg, skip_existing=args.skip_existing,
-                            overwrite=args.overwrite),
-                rgb=decoded.get(img_path),
-                precomputed_mask=masks.get(img_path)))
+        # Two-phase windowed pipeline: dispatch a window of images' device
+        # work (async, nothing fetched), then finish them (fetch + draw +
+        # save) while the device keeps executing. A per-image thread pool
+        # was tried instead and made folder mode 2.3x SLOWER on the relay
+        # platform (serialized device calls convoy); async dispatch is the
+        # lever. Window bounds live device arrays (~3 MB/image).
+        window = 32
+        for start in range(0, len(imgs), window):
+            chunk = imgs[start:start + window]
+            dispatched = []
+            for img_path in chunk:
+                pm = masks.get(img_path)
+                dispatched.append(dispatch_filters(
+                    decoded.get(img_path),
+                    pm[0] if pm else None,
+                    pm[1] if pm else None,
+                    types, cfg) if decoded.get(img_path) is not None else None)
+            for img_path, handles in zip(chunk, dispatched):
+                total_saved += len(process_single_image(
+                    ProcessArgs(img_path=img_path, out_dir=dst, types=types,
+                                cfg=cfg, skip_existing=args.skip_existing,
+                                overwrite=args.overwrite),
+                    rgb=decoded.get(img_path),
+                    precomputed_mask=masks.get(img_path),
+                    handles=handles))
         LOGGER.info("Processed %d images, saved %d outputs",
                     len(imgs), total_saved)
         return

@@ -44,17 +44,26 @@ def shape_metrics(mask: np.ndarray, contour: np.ndarray) -> Dict[str, float]:
     }
 
 
-def analyze_filter(
-    rgb: np.ndarray,
-    mask: Optional[np.ndarray],
-    contour: Optional[np.ndarray],
-    cfg: TransformConfig,
-) -> np.ndarray:
+def analyze_dispatch(rgb: np.ndarray):
+    """Phase 1: launch the device Canny (vein edges) without fetching."""
     import jax.numpy as jnp
 
     from leaffliction_tpu.ops.colorspace import rgb_to_gray
     from leaffliction_tpu.ops.filters import canny
 
+    gray = rgb_to_gray(jnp.asarray(rgb, jnp.float32))
+    return canny(gray, 80, 160, l2=True)
+
+
+def analyze_filter(
+    rgb: np.ndarray,
+    mask: Optional[np.ndarray],
+    contour: Optional[np.ndarray],
+    cfg: TransformConfig,
+    edges=None,
+) -> np.ndarray:
+    """`edges`: optional pre-dispatched device Canny from
+    `analyze_dispatch` (folder mode overlaps the round-trips)."""
     if contour is None or mask is None:
         return draw.text(np.asarray(rgb), "Analyze: no object", (10, 24))
 
@@ -99,8 +108,9 @@ def analyze_filter(
         overlay = draw.line(overlay, p_min, p_max, color, 2)
 
     # vein edges (device Canny 80/160 L2) in cyan inside the mask
-    gray = rgb_to_gray(jnp.asarray(rgb, jnp.float32))
-    edges = np.asarray(canny(gray, 80, 160, l2=True))
+    if edges is None:
+        edges = analyze_dispatch(rgb)
+    edges = np.asarray(edges)
     overlay = np.array(overlay)  # PIL-backed arrays are read-only
     overlay[edges & mask_bool] = (0, 255, 255)
 

@@ -57,11 +57,16 @@ def brown_regions(rgb: Array, leaf_mask: Array,
     return filtered, percentage, count
 
 
-def brown_filter(rgb, leaf_mask, cfg: TransformConfig):
-    """Host-facing: → (overlay RGB uint8, percentage float, count int)."""
+def brown_filter(rgb, leaf_mask, cfg: TransformConfig, regions=None):
+    """Host-facing: → (overlay RGB uint8, percentage float, count int).
+
+    `regions`: optional pre-dispatched `brown_regions` device tuple
+    (folder mode overlaps the round-trips)."""
     import numpy as np
 
-    filtered, pct, count = brown_regions(jnp.asarray(rgb), jnp.asarray(leaf_mask), cfg)
+    if regions is None:
+        regions = brown_regions(jnp.asarray(rgb), jnp.asarray(leaf_mask), cfg)
+    filtered, pct, count = regions
     vis = np.asarray(rgb, np.uint8).copy()
     vis[np.asarray(filtered)] = [255, 100, 0]
     return vis, float(pct), int(count)

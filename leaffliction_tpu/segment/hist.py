@@ -98,20 +98,29 @@ def _device_stats(rgb):
     return _stats_jit(rgb)
 
 
-def histogram_filter(rgb: np.ndarray, cfg: TransformConfig) -> np.ndarray:
+def hist_dispatch(rgb):
+    """Phase 1: launch the one-pass device statistics without fetching."""
+    import jax.numpy as jnp
+
+    return _device_stats(jnp.asarray(rgb))
+
+
+def histogram_filter(rgb: np.ndarray, cfg: TransformConfig,
+                     stats=None) -> np.ndarray:
     """→ RGB uint8 rendering of the analysis figure.
 
+    `stats`: optional pre-dispatched device tuple from `hist_dispatch`.
     The device stats run outside `_MPL_LOCK`; pyplot state is global, so
-    only the figure build is serialized (folder mode threads images to
-    pipeline their relay round-trips)."""
-    import jax.numpy as jnp
+    only the figure build is serialized."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    if stats is None:
+        stats = hist_dispatch(rgb)
     color, h_hist, s_hist, v_hist, hue_counts, n_mask = map(
-        np.asarray, _device_stats(jnp.asarray(rgb)))
+        np.asarray, stats)
     color_analysis: Dict[str, float] = dict(zip(COLOR_KEYS, color.tolist()))
 
     _MPL_LOCK.acquire()

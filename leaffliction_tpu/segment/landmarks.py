@@ -74,34 +74,81 @@ def _vein_device(rgb, mask_bool, max_corners: int):
     return _vein_jit(jnp.asarray(rgb), jnp.asarray(mask_bool), max_corners)
 
 
-def landmarks_filter(
+def landmarks_dispatch(
     rgb: np.ndarray,
     contour: Optional[np.ndarray],
     cfg: TransformConfig,
     make_mask_func: Callable,
-) -> np.ndarray:
+):
+    """Phase 1: launch every mask-dependent device computation (enhanced
+    mask, vein corners, disease component labels) WITHOUT fetching — the
+    folder-mode driver dispatches all images first so relay round-trips
+    overlap. → opaque handles for `landmarks_finish` (None if no object)."""
     import jax.numpy as jnp
 
-    from leaffliction_tpu.ops.morphology import closing
+    from leaffliction_tpu.ops.components import label_components
+    from leaffliction_tpu.ops.morphology import closing, opening
+    from leaffliction_tpu.ops.colorspace import rgb_to_hsv, rgb_to_lab
     from leaffliction_tpu.segment.brown import brown_regions
 
     if contour is None:
+        return None
+
+    # rgb may be a DEVICE array in folder mode (no host coercion here —
+    # np.asarray would force a blocking fetch and defeat the pipelining);
+    # make_mask_func must tolerate it (folder mode passes a precomputed
+    # lambda; single-image mode passes host arrays).
+    mask, _ = make_mask_func(rgb)
+    total = max(1, int(cfg.landmarks_count))
+    vein_quota = max(1, total // 3)
+
+    if mask is None:
+        return {"contour": contour, "mask": None}
+
+    leaf = mask > 0 if mask.ndim == 2 else mask[..., 0] > 0
+    # enhanced mask: leaf ∪ cleaned brown, closed (`landmarks.py:29-56`)
+    brown, _, _ = brown_regions(jnp.asarray(rgb), jnp.asarray(leaf), cfg)
+    enhanced = closing(jnp.asarray(leaf) | brown, 5, "ellipse")
+
+    rgb_j = jnp.asarray(rgb, jnp.float32)
+    if cfg.use_lab_brown:
+        lab = rgb_to_lab(rgb_j)
+        disease_raw = ((lab[..., 1] >= cfg.lab_a_min)
+                       & (lab[..., 2] >= cfg.lab_b_min))
+    else:
+        hsv = rgb_to_hsv(rgb_j)
+        lo, hi = cfg.brown_hue_range
+        disease_raw = ((hsv[..., 0] >= lo) & (hsv[..., 0] <= hi)
+                       & (hsv[..., 1] >= cfg.brown_s_min)
+                       & (hsv[..., 2] <= cfg.brown_v_max))
+    k = cfg.brown_morph_kernel
+    clean = closing(opening(disease_raw & enhanced, k, "ellipse"),
+                    k, "ellipse")
+    labels_dev = label_components(clean)
+
+    veins = _vein_device(rgb, enhanced, vein_quota * 8)
+    return {"contour": contour, "mask": enhanced, "veins": veins,
+            "labels": labels_dev}
+
+
+def landmarks_finish(
+    rgb: np.ndarray,
+    handles,
+    cfg: TransformConfig,
+) -> np.ndarray:
+    """Phase 2: fetch the dispatched arrays, pick quotas, draw."""
+    if handles is None:
         return draw.text(np.asarray(rgb), "Landmarks: no object", (10, 24))
 
     rgb = np.asarray(rgb, np.uint8)
-    mask, _ = make_mask_func(rgb)
-    if mask is not None:
-        leaf = mask > 0 if mask.ndim == 2 else mask[..., 0] > 0
-        # enhanced mask: leaf ∪ cleaned brown, closed (`landmarks.py:29-56`)
-        brown, _, _ = brown_regions(jnp.asarray(rgb), jnp.asarray(leaf), cfg)
-        enhanced = closing(jnp.asarray(leaf) | brown, 5, "ellipse")
-        enhanced_np = np.asarray(enhanced)
+    contour = handles["contour"]
+    mask_bool = None
+    if handles["mask"] is not None:
+        enhanced_np = np.asarray(handles["mask"])
         enhanced_contour = largest_contour_points(enhanced_np)
         if enhanced_contour is not None:
             contour = enhanced_contour
         mask_bool = enhanced_np
-    else:
-        mask_bool = None
 
     vis = rgb.copy()
     total = max(1, int(cfg.landmarks_count))
@@ -115,9 +162,8 @@ def landmarks_filter(
     vis = draw.circles(vis, border_pts, 2, COL_BORDER)
 
     # vein landmarks (device corners)
-    placed = 0
     if mask_bool is not None:
-        ys, xs, valid, edges_d = _vein_device(rgb, mask_bool, vein_quota * 8)
+        ys, xs, valid, edges_d = handles["veins"]
         ys, xs, valid = map(np.asarray, (ys, xs, valid))
         corners = [(int(x), int(y)) for y, x, ok in zip(ys, xs, valid) if ok]
         vis = draw.circles(vis, corners[:vein_quota], 2, COL_VEIN)
@@ -130,36 +176,34 @@ def landmarks_filter(
                 vis = draw.circles(vis, list(zip(exs[idx], eys[idx])), 2,
                                    COL_VEIN)
 
-    # disease landmarks
-    if mask_bool is not None:
-        vis = _disease_landmarks(vis, rgb, cfg, mask_bool, disease_quota)
+        # disease landmarks from the pre-dispatched component labels
+        vis = _disease_landmarks(vis, rgb, cfg, np.asarray(handles["labels"]),
+                                 disease_quota)
     return vis
 
 
-def _disease_landmarks(vis, rgb, cfg: TransformConfig, mask_bool,
+def landmarks_filter(
+    rgb: np.ndarray,
+    contour: Optional[np.ndarray],
+    cfg: TransformConfig,
+    make_mask_func: Callable,
+) -> np.ndarray:
+    """Single-image entry: dispatch + finish back-to-back."""
+    handles = landmarks_dispatch(rgb, contour, cfg, make_mask_func)
+    return landmarks_finish(rgb, handles, cfg)
+
+
+def _disease_landmarks(vis, rgb, cfg: TransformConfig, labels,
                        disease_quota: int):
+    """`labels` is the pre-dispatched connected-components image of the
+    cleaned brown gate (built in `landmarks_dispatch`)."""
     import jax.numpy as jnp
 
-    from leaffliction_tpu.ops.components import label_components
-    from leaffliction_tpu.ops.morphology import closing, opening
-    from leaffliction_tpu.ops.colorspace import rgb_to_hsv, rgb_to_lab
     from leaffliction_tpu.ops.filters import good_features_to_track
     from leaffliction_tpu.ops.colorspace import rgb_to_gray
 
     rgb_j = jnp.asarray(rgb, jnp.float32)
-    if cfg.use_lab_brown:
-        lab = rgb_to_lab(rgb_j)
-        brown = (lab[..., 1] >= cfg.lab_a_min) & (lab[..., 2] >= cfg.lab_b_min)
-    else:
-        hsv = rgb_to_hsv(rgb_j)
-        lo, hi = cfg.brown_hue_range
-        brown = ((hsv[..., 0] >= lo) & (hsv[..., 0] <= hi)
-                 & (hsv[..., 1] >= cfg.brown_s_min)
-                 & (hsv[..., 2] <= cfg.brown_v_max))
-    brown = brown & jnp.asarray(mask_bool)
-    k = cfg.brown_morph_kernel
-    clean = closing(opening(brown, k, "ellipse"), k, "ellipse")
-    labels = np.asarray(label_components(clean))
+    labels = np.asarray(labels)
 
     ids, counts = np.unique(labels[labels > 0], return_counts=True)
     comps = [(i, int(n)) for i, n in zip(ids, counts)

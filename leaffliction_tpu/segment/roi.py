@@ -68,14 +68,12 @@ def _letterbox_jit():
 _letterbox = None
 
 
-def roi_filter(
-    rgb: np.ndarray,
-    contour: Optional[np.ndarray],
-    cfg: TransformConfig,
-) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[Tuple[int, int, int, int]]]:
-    """→ (letterboxed ROI canvas, rectangle visualization, (x,y,w,h))."""
+def roi_dispatch(rgb: np.ndarray, contour: Optional[np.ndarray],
+                 cfg: TransformConfig):
+    """Phase 1: launch the letterbox resample; → (canvas_dev, rect) or
+    None when there is no object."""
     if contour is None:
-        return rgb, None, None
+        return None
     import jax.numpy as jnp
 
     global _letterbox
@@ -85,13 +83,28 @@ def roi_filter(
     x, y, w, h = bounding_rect_np(contour)
     H, W = cfg.roi_size
     if w <= 0 or h <= 0:
-        return rgb, None, None
+        return None
 
     scale = min(W / max(w, 1), H / max(h, 1))
     nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
     oy, ox = (H - nh) // 2, (W - nw) // 2
     rect = jnp.asarray([x, y, w, h, ox, oy, nw, nh], jnp.float32)
-    canvas_f = _letterbox(jnp.asarray(rgb, jnp.float32), rect, H, W)
+    canvas_dev = _letterbox(jnp.asarray(rgb, jnp.float32), rect, H, W)
+    return canvas_dev, (x, y, w, h)
+
+
+def roi_filter(
+    rgb: np.ndarray,
+    contour: Optional[np.ndarray],
+    cfg: TransformConfig,
+    dispatched=None,
+) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[Tuple[int, int, int, int]]]:
+    """→ (letterboxed ROI canvas, rectangle visualization, (x,y,w,h))."""
+    if dispatched is None:
+        dispatched = roi_dispatch(rgb, contour, cfg)
+    if dispatched is None:
+        return rgb, None, None
+    canvas_f, (x, y, w, h) = dispatched
     canvas = np.clip(np.round(np.asarray(canvas_f)), 0, 255).astype(rgb.dtype)
 
     vis = np.asarray(rgb).copy()
