@@ -169,13 +169,17 @@ def rotate_batch(keys: Array, imgs: Array) -> Tuple[Array, Array]:
     h, w = imgs.shape[1], imgs.shape[2]
     canvas = rotate_canvas_hw(h, w)
     if _use_pallas_warps():
-        from leaffliction_tpu.ops.pallas.rotate import rotate_batch_pallas
+        # interleaved-channel variant: one program per image, no
+        # transposes; 2.05 vs 2.12 ms/batch-128 for the per-channel kernel
+        # (both are barrel-roll-traffic-bound — see ops/pallas/rotate.py)
+        from leaffliction_tpu.ops.pallas.rotate import rotate_batch_pallas_nhwc
 
         angles = jax.vmap(
             lambda k: jax.random.uniform(k, (), jnp.float32,
                                          -MAX_ROTATE_DEG, MAX_ROTATE_DEG)
         )(keys)
-        return rotate_batch_pallas(imgs, angles, canvas, fill=255.0), angles
+        return rotate_batch_pallas_nhwc(imgs, angles, canvas,
+                                        fill=255.0), angles
     out, angles = jax.vmap(lambda k, x: _rotate_one(k, x, canvas))(keys, imgs)
     return _to_u8(out), angles
 

@@ -241,6 +241,111 @@ def shear_batch_pallas(imgs: Array, shears: Array, horizontal: Array,
     return jnp.transpose(out[:, :, :h, :w], (0, 2, 3, 1))
 
 
+def _shift_pass_lanes3(x: Array, shift_px: Array, frac_per: Array,
+                       low_ok: Array, high_ok: Array, fill: float) -> Array:
+    """Row shear pass over an INTERLEAVED-channel canvas [ph, 3·w lanes]:
+    a shift of k pixels is a roll of 3k lanes, so all three channels move
+    in one barrel pass. `shift_px` [ph, 1] int32 pixel shifts (mod w)."""
+    dim = x.shape[1]
+    lanes = (shift_px * 3) % dim
+    n_bits = max(1, math.ceil(math.log2(dim)))
+    for b in range(n_bits):
+        step = 1 << b
+        if step >= dim:
+            break
+        bit_on = ((lanes >> b) & 1) == 1
+        rolled = pltpu.roll(x, (-step) % dim, 1)
+        x = jnp.where(bit_on, rolled, x)
+    nxt = pltpu.roll(x, (-3) % dim, 1)     # next PIXEL = +3 lanes
+    out = x * (1.0 - frac_per) + nxt * frac_per
+    return jnp.where(low_ok & high_ok, out, fill)
+
+
+def _rotate_nhwc_kernel(angle_ref, img_ref, out_ref, a_ref, b_ref, *,
+                        in_hw: Tuple[int, int], canvas_hw: Tuple[int, int],
+                        fill: float):
+    """Expand-canvas rotation with channels interleaved in lanes — one
+    program per IMAGE (vs per image-channel): per-pass trig/validity and
+    the barrel control are computed once and move all 3 channels, and the
+    caller needs no NHWC↔NCHW transposes."""
+    in_h, in_w = in_hw
+    oh, ow = canvas_hw
+    ph, pw3 = a_ref.shape
+
+    theta = angle_ref[pl.program_id(0)] * (math.pi / 180.0)
+    t = -jnp.tan(theta / 2.0)
+    s = jnp.sin(theta)
+    cy = (oh - 1) / 2.0
+    cx = (ow - 1) / 2.0
+
+    pad_y0 = (oh - in_h) // 2
+    pad_x0 = (ow - in_w) // 2
+    a_ref[:] = jnp.full((ph, pw3), fill, jnp.float32)
+    a_ref[pad_y0:pad_y0 + in_h, 3 * pad_x0:3 * (pad_x0 + in_w)] = (
+        img_ref[0].astype(jnp.int32).astype(jnp.float32))
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ph, 1), 0).astype(jnp.float32)
+    xpix = (jax.lax.broadcasted_iota(jnp.int32, (1, pw3), 1) // 3
+            ).astype(jnp.float32)
+
+    def row_pass(src: Array, sh: Array) -> Array:
+        g = sh * (rows - cy)                       # [ph, 1] pixel shifts
+        k = jnp.floor(g)
+        _, lo_ok, hi_ok = _scaled_positions(sh, rows - cy, xpix, ow - 1.0)
+        return _shift_pass_lanes3(src, k.astype(jnp.int32), g - k,
+                                  lo_ok, hi_ok, fill)
+
+    def col_pass(src: Array, sh: Array) -> Array:
+        g = sh * (xpix - cx)                       # [1, pw3] row shifts
+        k = jnp.floor(g)
+        _, lo_ok, hi_ok = _scaled_positions(sh, xpix - cx, rows, oh - 1.0)
+        return _shift_pass(src, k.astype(jnp.int32) % ph, g - k,
+                           0, lo_ok, hi_ok, fill)
+
+    b_ref[:] = row_pass(a_ref[:], t)
+    a_ref[:] = col_pass(b_ref[:], s)
+    final = row_pass(a_ref[:], t)
+    out_ref[0] = (jnp.clip(jnp.round(final), 0.0, 255.0)
+                  .astype(jnp.int32).astype(jnp.uint8))
+
+
+@partial(jax.jit, static_argnames=("canvas_hw", "fill", "interpret"))
+def rotate_batch_pallas_nhwc(imgs: Array, angles_deg: Array,
+                             canvas_hw: Tuple[int, int], fill: float = 255.0,
+                             interpret: bool = False) -> Array:
+    """Interleaved-channel variant of `rotate_batch_pallas`: same math,
+    one program per image, no host-side transposes."""
+    n, in_h, in_w, c = imgs.shape
+    assert c == 3
+    oh, ow = canvas_hw
+    ph = _pad_to(oh, _SUBLANE)
+    pw3 = _pad_to(3 * ow, _LANE)
+
+    flat = imgs.reshape(n, in_h, in_w * 3)
+    angles1d = angles_deg.astype(jnp.float32).reshape(n)
+
+    out = pl.pallas_call(
+        partial(_rotate_nhwc_kernel, in_hw=(in_h, in_w),
+                canvas_hw=(oh, ow), fill=fill),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, in_h, in_w * 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ph, pw3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, ph, pw3), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((ph, pw3), jnp.float32),
+            pltpu.VMEM((ph, pw3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(angles1d, flat)
+
+    return out[:, :oh, :3 * ow].reshape(n, oh, ow, 3)
+
+
 def _rotate_clamp_kernel(angle_ref, img_ref, out_ref, a_ref, b_ref, *,
                          hw: Tuple[int, int]):
     """Same-canvas float rotation with edge-clamp fill — the in-graph

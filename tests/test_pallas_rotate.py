@@ -80,3 +80,22 @@ def test_pallas_clamp_rotate_matches_einsum():
     np.testing.assert_allclose(got, ref, atol=2e-5)
     # zero angle is the identity
     np.testing.assert_allclose(got[1], imgs[1], atol=1e-6)
+
+
+@pytest.mark.parametrize("hw", [(64, 64), (48, 80)])
+def test_pallas_rotate_nhwc_matches_einsum(hw):
+    from leaffliction_tpu.ops.pallas.rotate import rotate_batch_pallas_nhwc
+
+    h, w = hw
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 256, (3, h, w, 3), np.uint8)
+    angles = np.array([-29.5, 0.0, 17.3], np.float32)
+    canvas = rotate_canvas_hw(h, w)
+
+    ref = _einsum_reference(imgs, angles, canvas)
+    got = np.asarray(rotate_batch_pallas_nhwc(
+        jnp.asarray(imgs), jnp.asarray(angles), canvas, interpret=True))
+    assert got.shape == ref.shape
+    diff = np.abs(ref.astype(int) - got.astype(int))
+    assert diff.max() <= 2
+    assert (diff > 1).mean() < 0.002
