@@ -185,23 +185,6 @@ def _sizes_2d(labels: Array) -> Array:
                       preferred_element_type=jnp.float32)
 
 
-def _lookup_2d(labels: Array, table: Array) -> Array:
-    """GATHER-FREE `table[rep_row, rep_col]` per pixel for a 0/1 table:
-    two more one-hot matmuls (T = oq·K, then a row-wise dot with orr);
-    every intermediate is an exact 0/1 in bf16."""
-    h, w = labels.shape[-2], labels.shape[-1]
-    v = labels.reshape(-1) - 1
-    q = v // w
-    r = v % w
-    oq = (q[:, None] == jnp.arange(h)[None, :]).astype(jnp.bfloat16)
-    orr = ((r[:, None] == jnp.arange(w)[None, :]) & (q >= 0)[:, None]
-           ).astype(jnp.bfloat16)
-    t = jnp.einsum("pq,qr->pr", oq, table.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
-    return (jnp.sum(t * orr.astype(jnp.float32), axis=-1) > 0.5
-            ).reshape(labels.shape)
-
-
 @partial(jax.jit, static_argnames=("max_iters",))
 def largest_component(mask: Array, max_iters: int | None = None) -> Array:
     """Boolean mask of the largest connected component (empty-safe).
@@ -217,6 +200,19 @@ def largest_component(mask: Array, max_iters: int | None = None) -> Array:
     return (labels == best_label) & (jnp.max(sizes) > 0)
 
 
+def _spread_keep(keep_table: Array, mask: Array, h: int, w: int) -> Array:
+    """Per-pixel keep mask from a (rep-row, rep-col)-indexed 0/1 table.
+
+    `keep_table[y, x]` is only ever 1 where (y, x) is a component
+    REPRESENTATIVE (other bins count zero pixels), i.e. it is already an
+    image seeded at reps — so propagating its max over each component
+    (the same `_propagate` machinery, ~1 ms/batch with the Pallas rounds)
+    replaces the two lookup matmuls of `_lookup_2d`."""
+    seed = jnp.where(keep_table, 1, 0).astype(jnp.int32)
+    m = mask.astype(jnp.bool_)
+    return _propagate(jnp.where(m, seed, 0), m, h + w) > 0
+
+
 @partial(jax.jit, static_argnames=("min_size", "max_iters"))
 def remove_small_components(
     mask: Array, min_size: int, max_iters: int | None = None
@@ -224,8 +220,9 @@ def remove_small_components(
     """Drop components smaller than `min_size` px (PlantCV `fill` /
     `brown.py:64-74` min-area filtering)."""
     labels = label_components(mask, max_iters)
+    h, w = labels.shape[-2], labels.shape[-1]
     keep = _sizes_2d(labels) >= min_size
-    return _lookup_2d(labels, keep) & (labels > 0)
+    return _spread_keep(keep, mask, h, w) & (labels > 0)
 
 
 def component_count(mask: Array, min_size: int = 1) -> Array:

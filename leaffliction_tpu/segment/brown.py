@@ -15,8 +15,8 @@ import jax.numpy as jnp
 
 from leaffliction_tpu.ops.colorspace import rgb_to_hsv, rgb_to_lab
 from leaffliction_tpu.ops.components import (
-    _lookup_2d,
     _sizes_2d,
+    _spread_keep,
     label_components,
 )
 from leaffliction_tpu.ops.morphology import closing, opening
@@ -48,7 +48,8 @@ def brown_regions(rgb: Array, leaf_mask: Array,
     labels = label_components(clean)
     sizes = _sizes_2d(labels)  # scatter/gather-free (see ops/components.py)
     keep = sizes >= cfg.brown_min_area_px
-    filtered = _lookup_2d(labels, keep) & (labels > 0)
+    h, w = labels.shape
+    filtered = _spread_keep(keep, clean, h, w) & (labels > 0)
 
     count = jnp.sum(keep)
     total_area = jnp.sum(filtered)
