@@ -80,24 +80,6 @@ class Predictor:
         ]
         return np.concatenate(out) if out else np.zeros((0, 0))
 
-    def _decode_many(self, paths: Sequence[Path]) -> tuple[np.ndarray, list]:
-        size = self.model_loader.img_size
-        n = len(paths)
-        arrays = np.zeros((n, size, size, 3), np.uint8)
-        ok: List[bool] = [False] * n
-        decode = default_decode_fn()
-
-        def _load(i: int) -> None:
-            try:
-                arrays[i] = decode(str(paths[i]), size)
-                ok[i] = True
-            except Exception as exc:
-                LOGGER.warning("Failed to process %s: %s", paths[i], exc)
-
-        with cf.ThreadPoolExecutor(max_workers=8) as pool:
-            list(pool.map(_load, range(n)))
-        return arrays, ok
-
     # --- public API --------------------------------------------------------
 
     def predict_single(
@@ -138,20 +120,61 @@ class Predictor:
         self, image_paths: Sequence[Path | str]
     ) -> List[Dict[str, Any]]:
         """Batched prediction over many files (`predictor.py:82-147`):
-        unreadable images are skipped with a warning."""
+        unreadable images are skipped with a warning.
+
+        Decode and inference are PIPELINED: every decode is submitted to
+        the thread pool up front (the native decoder releases the GIL),
+        and each serving chunk is dispatched to the device the moment its
+        images are ready — later decodes overlap earlier chunks' transfer
+        and compute, and all probability fetches happen at the end
+        (decode-then-infer as strict phases wastes the decode time)."""
+        import jax
+
         paths = [Path(p) for p in image_paths]
-        arrays, ok = self._decode_many(paths)
-        keep = [i for i, good in enumerate(ok) if good]
-        if not keep:
+        if not paths:
             return []
-        probs = self._probs_for_arrays(arrays[keep])
+        size = self.model_loader.img_size
+        decode = default_decode_fn()
+
+        def _load(p: Path):
+            try:
+                return decode(str(p), size), True
+            except Exception as exc:
+                LOGGER.warning("Failed to process %s: %s", p, exc)
+                return np.zeros((size, size, 3), np.uint8), False
+
+        pending = []  # (device_probs, rows_used)
+        ok: List[bool] = []
+        buf: List[np.ndarray] = []
+        with cf.ThreadPoolExecutor(max_workers=8) as pool:
+            futures = [pool.submit(_load, p) for p in paths]
+            for i, fut in enumerate(futures):
+                arr, good = fut.result()
+                ok.append(good)
+                buf.append(arr)
+                if len(buf) == SERVING_BATCH or i == len(futures) - 1:
+                    chunk = np.stack(buf)
+                    used = chunk.shape[0]
+                    pad = SERVING_BATCH - used
+                    if pad:
+                        chunk = np.concatenate(
+                            [chunk, np.zeros((pad,) + chunk.shape[1:],
+                                             chunk.dtype)])
+                    pending.append((self._infer(chunk), used))
+                    buf = []
+
+        probs = np.concatenate([
+            np.asarray(jax.device_get(p))[:used] for p, used in pending
+        ])
         labels = self.model_loader.labels
         results: List[Dict[str, Any]] = []
-        for j, i in enumerate(keep):
-            p = probs[j]
+        for i, path in enumerate(paths):
+            if not ok[i]:
+                continue
+            p = probs[i]
             top = int(np.argmax(p))
             results.append({
-                "image_path": paths[i],
+                "image_path": path,
                 "top_prediction": labels[top],
                 "confidence": float(p[top]),
                 "all_probabilities": {
