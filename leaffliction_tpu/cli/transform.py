@@ -449,14 +449,20 @@ def _precompute_masks_batched(imgs: List[Path], cfg: TransformConfig,
             mask_dev, scores = make_mask_batch_async(dev, cfg)
             pending.append((chunk, dev, mask_dev, scores, s, h, w))
 
+    @jax.jit
+    def _pack(mask_dev):
+        # packed-bit download: 8x less than bool bytes over the link
+        return jnp.packbits(mask_dev.astype(jnp.uint8), axis=-1)
+
     masks: Dict[Path, tuple] = {}
     for chunk, dev, mask_dev, scores, s, h, w in pending:
         mask_dev = finalize_mask_batch(dev, mask_dev, scores, cfg)
         if abs(s - 1.0) > 1e-6:
             mask_dev = _downscale_mask(mask_dev, h, w)
-        mask_np = np.asarray(jax.device_get(mask_dev))
+        packed = np.asarray(jax.device_get(_pack(mask_dev)))
+        mask_np = np.unpackbits(packed, axis=-1, count=w) > 0
         for p, m in zip(chunk, mask_np):
-            mask_u8 = (m > 0).astype(np.uint8) * 255
+            mask_u8 = m.astype(np.uint8) * 255
             masks[p] = (mask_u8, largest_contour_points(m))
     LOGGER.info("Precomputed %d masks in device batches", len(masks))
     return decoded, masks

@@ -226,7 +226,6 @@ def apply_training_transform(store: ImageStore, cfg=None,
 
     from leaffliction_tpu.segment.config import TransformConfig
     from leaffliction_tpu.segment.mask import (
-        apply_mask_white,
         finalize_mask_batch,
         make_mask_batch_async,
     )
@@ -236,9 +235,12 @@ def apply_training_transform(store: ImageStore, cfg=None,
                                  grabcut_refine=False)
 
     @jax.jit
-    def _apply(imgs, masks):
-        out = apply_mask_white(imgs, masks)
-        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    def _pack(masks):
+        # ship the MASK as packed bits (24x less than the masked uint8
+        # image: B×224×28 vs B×224×224×3) and apply the white background
+        # on host — `apply_mask_white` over uint8 is a pure select, so the
+        # host numpy `where` is bit-identical
+        return jnp.packbits(masks.astype(jnp.uint8), axis=-1)
 
     # Dispatch every chunk before collecting any result: uint8 uploads (4x
     # less than float32) overlap the previous chunk's segmentation compute,
@@ -254,11 +256,15 @@ def apply_training_transform(store: ImageStore, cfg=None,
         dev = jnp.asarray(chunk)
         masks, scores = make_mask_batch_async(dev, cfg)
         pending.append((start, pad, dev, masks, scores))
+    w = store.images.shape[2]
     for start, pad, dev, masks, scores in pending:
         masks = finalize_mask_batch(dev, masks, scores, cfg)
-        out = np.asarray(jax.device_get(_apply(dev, masks)))
-        store.images[start:start + device_batch] = out[:device_batch - pad
-                                                       if pad else device_batch]
+        used = device_batch - pad if pad else device_batch
+        packed = np.asarray(jax.device_get(_pack(masks)))[:used]
+        m = np.unpackbits(packed, axis=-1, count=w) > 0
+        src = store.images[start:start + used]
+        store.images[start:start + used] = np.where(
+            m[..., None], src, 255).astype(np.uint8)
     LOGGER.info("Applied training transform (masked, white bg) to %d images",
                 n)
 
