@@ -86,7 +86,9 @@ def _propagate(labels: Array, mask: Array, limit: int) -> Array:
             lab = jnp.where(mask, grown, 0)
             lab = _axis_pass_tuple(lab, mask, 0)
             return _axis_pass_tuple(lab, mask, 1)
-    elif _use_pallas_cc() and labels.ndim == 2 and h % 8 == 0:
+    elif _use_pallas_cc() and labels.ndim == 2:
+        # Mosaic masks padded sublanes/lanes of non-aligned logical shapes
+        # correctly — hardware-verified bit-exact at 291x291 (h % 8 = 3)
         from leaffliction_tpu.ops.pallas.components import (
             propagate_round_pallas,
         )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +64,12 @@ class StepFns:
     eval_step_gather: Callable
     eval_step_ema_gather: Callable
     mesh: Mesh
+    # whole-val-set eval in ONE program (scan over [K, B] index batches
+    # against the device-resident dataset): one dispatch + one fetch per
+    # eval instead of K. None on multi-device meshes (per-batch sharded
+    # eval is used there).
+    eval_chain_gather: Optional[Callable] = None
+    eval_chain_ema_gather: Optional[Callable] = None
 
 
 def make_lr_schedule(cfg: TrainConfig, total_steps: int) -> Callable[[Array], Array]:
@@ -260,6 +266,31 @@ def build_step_fns(
         lb = jnp.take(data_labels, sel, axis=0)
         return _eval(state.params, state.batch_stats, state, im, lb, mask)
 
+    def _eval_chain(params, batch_stats, state, data_images, data_labels,
+                    sel, mask):
+        """Whole val set in one program: sel/mask [K, B] → (metrics with
+        leaves stacked [K], preds [K, B])."""
+
+        def body(carry, xs):
+            s, mk = xs
+            m, preds = _eval(params, batch_stats, state,
+                             jnp.take(data_images, s, axis=0),
+                             jnp.take(data_labels, s, axis=0), mk)
+            return carry, (m, preds)
+
+        _, out = jax.lax.scan(body, 0, (sel, mask))
+        return out
+
+    def eval_chain_gather(state: TrainState, data_images, data_labels,
+                          sel, mask):
+        return _eval_chain(state.params, state.batch_stats, state,
+                           data_images, data_labels, sel, mask)
+
+    def eval_chain_ema_gather(state: TrainState, data_images, data_labels,
+                              sel, mask):
+        return _eval_chain(state.ema_params, state.ema_batch_stats, state,
+                           data_images, data_labels, sel, mask)
+
     def eval_step_ema_gather(state: TrainState, data_images, data_labels,
                              sel, mask):
         im = jnp.take(data_images, sel, axis=0)
@@ -281,6 +312,8 @@ def build_step_fns(
                        eval_step=eval_jit, eval_step_ema=eval_ema_jit,
                        eval_step_gather=jax.jit(eval_step_gather),
                        eval_step_ema_gather=jax.jit(eval_step_ema_gather),
+                       eval_chain_gather=jax.jit(eval_chain_gather),
+                       eval_chain_ema_gather=jax.jit(eval_chain_ema_gather),
                        mesh=mesh)
 
     repl = NamedSharding(mesh, P())

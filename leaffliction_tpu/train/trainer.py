@@ -153,6 +153,30 @@ def evaluate(
     `device_data=(images, labels)` switches to the gather path: batches are
     selected out of the device-resident dataset by index."""
     pending = []
+    chain_fn = (step_fns.eval_chain_ema_gather if use_ema
+                else step_fns.eval_chain_gather)
+    if device_data is not None and chain_fn is not None:
+        # whole val set in ONE program: one dispatch + one fetch per eval
+        dd_img, dd_lab = device_data
+        batches = list(val_iter.epoch(0))
+        if not batches:
+            return 0.0, 0.0, np.zeros((0,), np.int32), np.zeros((0,), np.int32)
+        sel = np.stack([np.asarray(b.indices) for b in batches])
+        msk = np.stack([np.asarray(b.mask) for b in batches])
+        metrics, preds = chain_fn(state, dd_img, dd_lab, sel, msk)
+        metrics, preds = jax.device_get((metrics, preds))
+        loss_sum = float(np.sum(metrics["loss_sum"]))
+        correct = float(np.sum(metrics["correct"]))
+        n = max(float(np.sum(metrics["n"])), 1.0)
+        ys, ps = [], []
+        if collect_preds:
+            for k, b in enumerate(batches):
+                keep = np.asarray(b.mask) > 0
+                ys.append(np.asarray(b.labels)[keep])
+                ps.append(np.asarray(preds[k])[keep])
+        y_true = np.concatenate(ys) if ys else np.zeros((0,), np.int32)
+        y_pred = np.concatenate(ps) if ps else np.zeros((0,), np.int32)
+        return loss_sum / n, correct / n, y_true, y_pred
     if device_data is not None:
         dd_img, dd_lab = device_data
         eval_fn = (step_fns.eval_step_ema_gather if use_ema
