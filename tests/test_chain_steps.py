@@ -188,3 +188,36 @@ def test_fit_with_chaining_runs(tiny_dataset):
     assert result.steps_ran == train_iter.steps_per_epoch() * 2
     assert np.isfinite(result.history["loss"]).all()
     assert len(result.history["loss"]) == 2
+
+
+def test_eval_chain_matches_per_batch():
+    """eval_chain_gather (whole val set in one scan program) must agree
+    with K separate eval_step_gather calls on the same index batches."""
+    import jax.numpy as jnp
+
+    classes, img, batch, k, n = 4, 16, 8, 3, 40
+    mesh = make_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    model = build_leafcnn(num_classes=classes, scale="tiny")
+    cfg = TrainConfig.regularized()
+    fns = build_step_fns(model, cfg, classes, total_steps=4, mesh=mesh)
+    state = create_train_state(model, cfg, img_size=img, seed=0)
+
+    rng = np.random.default_rng(3)
+    data_images = jnp.asarray(rng.integers(0, 255, (n, img, img, 3), np.uint8))
+    data_labels = jnp.asarray(rng.integers(0, classes, (n,)).astype(np.int32))
+    sel = rng.integers(0, n, (k, batch)).astype(np.int32)
+    mask = (rng.random((k, batch)) < 0.9).astype(np.float32)
+
+    chained_m, chained_p = fns.eval_chain_gather(
+        state, data_images, data_labels, sel, mask)
+    chained_m = jax.device_get(chained_m)
+    chained_p = np.asarray(chained_p)
+
+    for i in range(k):
+        m, p = fns.eval_step_gather(state, data_images, data_labels,
+                                    sel[i], mask[i])
+        m = jax.device_get(m)
+        for key_ in ("loss_sum", "correct", "n"):
+            np.testing.assert_allclose(chained_m[key_][i], m[key_],
+                                       rtol=1e-6)
+        np.testing.assert_array_equal(chained_p[i], np.asarray(p))
