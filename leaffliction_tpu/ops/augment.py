@@ -22,8 +22,10 @@ Semantics per op (reference lines):
   to 250+; we implement the evident intent — clipped additive noise — and
   document the delta.)
 
-Interpolation is bilinear (PIL uses BICUBIC for skew/shear); golden tests
-compare within tolerance.
+Interpolation matches the reference ops: 4-tap Keys bicubic for skew/shear
+(PIL BICUBIC), 6-tap lanczos3 for crop's resize-back (PIL LANCZOS), bilinear
+for rotate (PIL rotate defaults to NEAREST; bilinear is the smoother
+superset). Golden tests compare against PIL within tolerance.
 """
 
 from __future__ import annotations
@@ -113,9 +115,12 @@ def _use_pallas_warps() -> bool:
 def _skew_one(key: Array, img: Array) -> Array:
     h, w = img.shape[0], img.shape[1]
     s = jax.random.uniform(key, (), jnp.float32, 0.05, 0.15)
+    # + 0.5·s: PIL transform applies coefficients at pixel centers
+    # (src = A·(out + 0.5) − 0.5); bicubic = the reference's Image.BICUBIC
     return scale_translate_warp(
-        img, jnp.stack([1.0 + s, 1.0 + s]), jnp.stack([-s * w, -s * h]),
-        (h, w), fill=0.0)
+        img, jnp.stack([1.0 + s, 1.0 + s]),
+        jnp.stack([-s * w + 0.5 * s, -s * h + 0.5 * s]),
+        (h, w), fill=0.0, kernel="bicubic")
 
 
 def _shear_one(key: Array, img: Array) -> Array:
@@ -123,7 +128,8 @@ def _shear_one(key: Array, img: Array) -> Array:
     h, w = img.shape[0], img.shape[1]
     s = jax.random.uniform(k_s, (), jnp.float32, -0.2, 0.2)
     horizontal = jax.random.bernoulli(k_dir)
-    return shear_warp(img, s, horizontal, (h, w), fill=0.0)
+    return shear_warp(img, s, horizontal, (h, w), fill=0.0,
+                      kernel="bicubic", half_px=True)
 
 
 def _crop_one(key: Array, img: Array) -> Array:
@@ -137,10 +143,12 @@ def _crop_one(key: Array, img: Array) -> Array:
     # PIL resize pixel-center mapping: src = (dst + 0.5) * scale - 0.5 + origin
     ax = new_w / w
     ay = new_h / h
+    # lanczos3 matches the reference's LANCZOS resize-back
+    # (`image_augmenter.py:96-114`); edge-clamp (fill=None) semantics
     return scale_translate_warp(
         img, jnp.stack([ax, ay]),
         jnp.stack([left + 0.5 * ax - 0.5, top + 0.5 * ay - 0.5]),
-        (h, w), fill=None)
+        (h, w), fill=None, kernel="lanczos3")
 
 
 def _distortion_one(key: Array, img: Array) -> Array:

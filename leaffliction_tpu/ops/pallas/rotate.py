@@ -83,9 +83,23 @@ def _scaled_positions(sh: Array, idx: Array, coord: Array,
     return pos, pos >= 0.0, high <= 0.0
 
 
+def _cubic_w(d: Array) -> Array:
+    """Keys cubic weight (a = -0.5, the PIL BICUBIC kernel) for |d| < 2."""
+    a = -0.5
+    ad = jnp.abs(d)
+    ad2 = ad * ad
+    ad3 = ad2 * ad
+    near = (a + 2.0) * ad3 - (a + 3.0) * ad2 + 1.0
+    far = a * (ad3 - 5.0 * ad2 + 8.0 * ad - 4.0)
+    return jnp.where(ad <= 1.0, near, far)
+
+
 def _shift_pass(x: Array, shift_per: Array, frac_per: Array, axis: int,
                 low_ok: Array, high_ok: Array, fill: float | None,
-                content_dim: int | None = None) -> Array:
+                content_dim: int | None = None,
+                taps: str = "linear",
+                tap_f0: Array | None = None,
+                tap_upper: float | None = None) -> Array:
     """One shear pass over a VMEM-resident canvas.
 
     x: [H, W] f32. shift_per: int32 shifts (mod axis length), shaped [H, 1]
@@ -95,7 +109,13 @@ def _shift_pass(x: Array, shift_per: Array, frac_per: Array, axis: int,
     canvas bound. `fill=None` selects edge-clamp semantics (out-of-range
     sources take the nearest canvas edge sample — matching the einsum
     path's clipped-position resample); a float fills out-of-range outputs
-    with that constant.
+    with that constant. `taps="cubic"` interpolates with the 4-tap Keys
+    kernel (PIL BICUBIC) instead of the 2-tap triangle — two extra rolls
+    + FMAs per pass, still VMEM-resident. Cubic taps falling outside the
+    content ([0, tap_upper], tested at floor position `tap_f0` + offset)
+    are dropped and the remaining weights renormalized — the same
+    edge handling as the einsum path's `_weights`, approximating PIL's
+    sample-coordinate clamping.
     """
     dim = x.shape[axis]
     if fill is None:
@@ -112,9 +132,28 @@ def _shift_pass(x: Array, shift_per: Array, frac_per: Array, axis: int,
         bit_on = ((shift_per >> b) & 1) == 1
         rolled = pltpu.roll(x, (-step) % dim, axis)   # out[i] = x[i + step]
         x = jnp.where(bit_on, rolled, x)
-    # 2-tap triangle (bilinear) lerp: in[k] * (1-f) + in[k+1] * f
+    f = frac_per
     nxt = pltpu.roll(x, (-1) % dim, axis)
-    out = x * (1.0 - frac_per) + nxt * frac_per
+    if taps == "cubic":
+        # source = k + f; taps at k-1, k, k+1, k+2 with Keys weights
+        prev = pltpu.roll(x, 1, axis)
+        nxt2 = pltpu.roll(x, (-2) % dim, axis)
+        num = 0.0
+        den = 0.0
+        for v, off, wt in (
+            (prev, -1.0, _cubic_w(1.0 + f)),
+            (x, 0.0, _cubic_w(f)),
+            (nxt, 1.0, _cubic_w(1.0 - f)),
+            (nxt2, 2.0, _cubic_w(2.0 - f)),
+        ):
+            ok = ((tap_f0 + off >= 0.0)
+                  & (tap_f0 + off <= tap_upper)).astype(jnp.float32)
+            num = num + v * (wt * ok)
+            den = den + wt * ok
+        out = num / jnp.where(jnp.abs(den) > 1e-6, den, 1.0)
+    else:
+        # 2-tap triangle (bilinear) lerp: in[k] * (1-f) + in[k+1] * f
+        out = x * (1.0 - f) + nxt * f
     if fill is None:
         return jnp.where(low_ok, jnp.where(high_ok, out, edge_high),
                          edge_low)
@@ -172,8 +211,10 @@ def _rotate_kernel(angle_ref, img_ref, out_ref, a_ref, b_ref, *,
 def _shear_kernel(shr_ref, shc_ref, img_ref, out_ref, a_ref, b_ref, *,
                   in_hw: Tuple[int, int], fill: float):
     """Origin-anchored PIL shear ([1,s,0,0,1,0] / [1,0,0,s,1,0]) as two
-    barrel-shift passes; the inactive direction's coefficient is zero, which
-    makes that pass an exact identity (shift 0, frac 0, all-valid)."""
+    barrel-shift passes with 4-tap Keys cubic interpolation (the reference
+    shears with Image.BICUBIC, `image_augmenter.py:73-94`); the inactive
+    direction's coefficient is zero, which makes that pass an exact
+    identity (shift 0, frac 0, all taps in content → weights sum to 1)."""
     in_h, in_w = in_hw
     ph, pw = a_ref.shape
     i = pl.program_id(0)
@@ -186,17 +227,25 @@ def _shear_kernel(shr_ref, shc_ref, img_ref, out_ref, a_ref, b_ref, *,
     rows = jax.lax.broadcasted_iota(jnp.int32, (ph, 1), 0).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, pw), 1).astype(jnp.float32)
 
-    g_r = sh_r * rows                       # src_x = x + s·y
+    # PIL `transform` convention: coefficients apply at pixel centers
+    # (src = x + s·(y + 0.5)), and a position is in-bounds on the
+    # half-open band src ∈ [-0.5, size - 0.5) — shifting both coord and
+    # upper by +0.5 turns the sign-exact [0, upper] tests into that band.
+    g_r = sh_r * (rows + 0.5)               # src_x = x + s·(y + 0.5)
     k_r = jnp.floor(g_r)
-    _, lo_r, hi_r = _scaled_positions(sh_r, rows, cols, in_w - 1.0)
+    _, lo_r, hi_r = _scaled_positions(sh_r, rows + 0.5, cols + 0.5,
+                                      float(in_w))
     b_ref[:] = _shift_pass(a_ref[:], k_r.astype(jnp.int32) % pw, g_r - k_r,
-                           1, lo_r, hi_r, fill)
+                           1, lo_r, hi_r, fill, taps="cubic",
+                           tap_f0=cols + k_r, tap_upper=in_w - 1.0)
 
-    g_c = sh_c * cols                       # src_y = y + s·x
+    g_c = sh_c * (cols + 0.5)               # src_y = y + s·(x + 0.5)
     k_c = jnp.floor(g_c)
-    _, lo_c, hi_c = _scaled_positions(sh_c, cols, rows, in_h - 1.0)
+    _, lo_c, hi_c = _scaled_positions(sh_c, cols + 0.5, rows + 0.5,
+                                      float(in_h))
     final = _shift_pass(b_ref[:], k_c.astype(jnp.int32) % ph, g_c - k_c,
-                        0, lo_c, hi_c, fill)
+                        0, lo_c, hi_c, fill, taps="cubic",
+                        tap_f0=rows + k_c, tap_upper=in_h - 1.0)
     out_ref[0, 0] = (jnp.clip(jnp.round(final), 0.0, 255.0)
                      .astype(jnp.int32).astype(jnp.uint8))
 

@@ -33,32 +33,102 @@ def _tri(d: Array) -> Array:
     return jnp.maximum(0.0, 1.0 - jnp.abs(d))
 
 
+_CUBIC_A = -0.5  # Keys cubic; PIL's BICUBIC uses a = -0.5
+
+
+def _cubic(d: Array) -> Array:
+    """4-tap Keys cubic (the PIL BICUBIC kernel,
+    `/root/reference/srcs/preprocessing/image_augmenter.py:66-93` warps with
+    Image.BICUBIC)."""
+    a = _CUBIC_A
+    ad = jnp.abs(d)
+    ad2 = ad * ad
+    ad3 = ad2 * ad
+    near = (a + 2.0) * ad3 - (a + 3.0) * ad2 + 1.0
+    far = a * (ad3 - 5.0 * ad2 + 8.0 * ad - 4.0)
+    return jnp.where(ad <= 1.0, near, jnp.where(ad < 2.0, far, 0.0))
+
+
+def _lanczos3(d: Array) -> Array:
+    """6-tap Lanczos (PIL LANCZOS, used by the reference's resize-back after
+    crop, `image_augmenter.py:96-114`). sinc(d)·sinc(d/3) on |d| < 3."""
+    pd = jnp.pi * d
+    # sinc with the removable singularity at 0 handled exactly
+    safe = jnp.where(jnp.abs(d) < 1e-7, 1.0, pd)
+    sinc1 = jnp.where(jnp.abs(d) < 1e-7, 1.0, jnp.sin(safe) / safe)
+    safe3 = jnp.where(jnp.abs(d) < 1e-7, 1.0, pd / 3.0)
+    sinc3 = jnp.where(jnp.abs(d) < 1e-7, 1.0, jnp.sin(safe3) / safe3)
+    return jnp.where(jnp.abs(d) < 3.0, sinc1 * sinc3, 0.0)
+
+
+_KERNELS = {"bilinear": _tri, "bicubic": _cubic, "lanczos3": _lanczos3}
+
+
+def _weights(k: Array, pos: Array, kernel: str) -> Array:
+    """Weight tensor kfn(k - pos); wide kernels are renormalized so taps
+    dropped at the array boundary don't dim edge pixels (PIL clamps sample
+    coordinates / normalizes precomputed weight rows — same effect).
+
+    The weight tensor never materializes: XLA fuses the elementwise build
+    (and the [K]-axis renormalization sum) into the matmul tiles, so a 4- or
+    6-tap kernel costs the same matmul as the 2-tap one.
+    """
+    kfn = _KERNELS[kernel]
+    w = kfn(k - pos)
+    if kernel != "bilinear":
+        w = w / jnp.maximum(jnp.sum(w, axis=_k_axis(k), keepdims=True), 1e-6)
+    return w
+
+
+def _k_axis(k: Array) -> int:
+    """Axis along which `k` varies (the source-sample axis)."""
+    for ax, s in enumerate(k.shape):
+        if s > 1:
+            return ax
+    return 0
+
+
+def _in_bounds(src: Array, upper: Array, kernel: str) -> Array:
+    """Validity of a source position against [0, upper].
+
+    PIL's geometric transforms sample where the half-pixel-shifted
+    coordinate lies in [0, size), i.e. src ∈ [-0.5, upper + 0.5); inside
+    that band but outside the array, sample coordinates clamp to the edge —
+    which the renormalized wide kernels reproduce. The bilinear kernel does
+    not renormalize, so it keeps the conservative [0, upper] band (outside
+    taps would silently dim the result)."""
+    if kernel == "bilinear":
+        return (src >= 0.0) & (src <= upper)
+    return (src >= -0.5) & (src < upper + 0.5)
+
+
 def row_resample(
-    img: Array, src_pos: Array, fill: float | None
+    img: Array, src_pos: Array, fill: float | None,
+    kernel: str = "bilinear",
 ) -> Array:
     """Resample along the LAST axis (W): out[..., y, x] = img[..., y, src(y,x)].
 
     img: [H, K] or [H, K, C] float; src_pos: [H, W_out] source x-coordinates.
+    `kernel`: bilinear (2-tap) | bicubic (4-tap Keys) | lanczos3 (6-tap).
     """
     k = jnp.arange(img.shape[-2] if img.ndim == 3 else img.shape[-1],
                    dtype=jnp.float32)
     if img.ndim == 2:
-        w = _tri(k[None, :, None] - src_pos[:, None, :])       # [H, K, W]
+        w = _weights(k[None, :, None], src_pos[:, None, :], kernel)  # [H,K,W]
         out = jnp.einsum("hk,hkx->hx", img, w,
                          preferred_element_type=jnp.float32)
-        inb = (src_pos >= 0.0) & (src_pos <= k[-1])
+        inb = _in_bounds(src_pos, k[-1], kernel)
     else:
-        w = _tri(k[None, :, None] - src_pos[:, None, :])       # [H, K, W]
+        w = _weights(k[None, :, None], src_pos[:, None, :], kernel)  # [H,K,W]
         out = jnp.einsum("hkc,hkx->hxc", img, w,
                          preferred_element_type=jnp.float32)
-        inb = ((src_pos >= 0.0) & (src_pos <= k[-1]))[..., None]
+        inb = _in_bounds(src_pos, k[-1], kernel)[..., None]
     if fill is not None:
         out = jnp.where(inb, out, fill)
     else:
-        # reflect-style: clamp to edge by renormalizing isn't exact; use
-        # clipped positions instead of fill
+        # edge-clamp semantics: resample at clipped positions
         src_c = jnp.clip(src_pos, 0.0, k[-1])
-        w = _tri(k[None, :, None] - src_c[:, None, :])
+        w = _weights(k[None, :, None], src_c[:, None, :], kernel)
         if img.ndim == 2:
             out = jnp.einsum("hk,hkx->hx", img, w,
                              preferred_element_type=jnp.float32)
@@ -69,7 +139,8 @@ def row_resample(
 
 
 def col_resample(
-    img: Array, src_pos: Array, fill: float | None
+    img: Array, src_pos: Array, fill: float | None,
+    kernel: str = "bilinear",
 ) -> Array:
     """Resample along the ROW axis (H): out[y, x] = img[src(x, y), x].
 
@@ -78,45 +149,52 @@ def col_resample(
     """
     k = jnp.arange(img.shape[0], dtype=jnp.float32)
     pos = src_pos if fill is not None else jnp.clip(src_pos, 0.0, k[-1])
-    w = _tri(k[None, :, None] - pos[:, None, :])               # [W, K, H_out]
+    w = _weights(k[None, :, None], pos[:, None, :], kernel)    # [W, K, H_out]
     if img.ndim == 2:
         out = jnp.einsum("kx,xkz->zx", img, w,
                          preferred_element_type=jnp.float32)
-        inb = (src_pos >= 0.0) & (src_pos <= k[-1])
+        inb = _in_bounds(src_pos, k[-1], kernel)
         inb = inb.T
     else:
         out = jnp.einsum("kxc,xkz->zxc", img, w,
                          preferred_element_type=jnp.float32)
-        inb = ((src_pos >= 0.0) & (src_pos <= k[-1])).T[..., None]
+        inb = _in_bounds(src_pos, k[-1], kernel).T[..., None]
     if fill is not None:
         out = jnp.where(inb, out, fill)
     return out
 
 
-@partial(jax.jit, static_argnames=("out_hw", "fill"))
+@partial(jax.jit, static_argnames=("out_hw", "fill", "kernel", "half_px"))
 def shear_warp(img: Array, shear: Array, horizontal: bool | Array,
-               out_hw: Tuple[int, int], fill: float | None = 0.0) -> Array:
+               out_hw: Tuple[int, int], fill: float | None = 0.0,
+               kernel: str = "bilinear", half_px: bool = False) -> Array:
     """Origin-anchored PIL shear ([1,s,0,0,1,0] / [1,0,0,s,1,0]) as one
-    matmul pass. `horizontal` may be traced (both passes computed, selected)."""
+    matmul pass. `horizontal` may be traced (both passes computed, selected).
+
+    `half_px=True` applies the coefficients at pixel centers like PIL's
+    `transform` (src = A·(out + 0.5) − 0.5 ⇒ an extra 0.5·s term), the
+    convention of the reference's shear op (`image_augmenter.py:73-94`)."""
     out_h, out_w = out_hw
     x = img.astype(jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)
     ys = jnp.arange(out_h, dtype=jnp.float32)
     s = jnp.asarray(shear, jnp.float32)
+    c = 0.5 if half_px else 0.0
 
-    src_x = xs[None, :] + s * ys[:, None]       # x_src = x + s·y
-    out_h_pass = row_resample(x, src_x, fill)
-    src_y = (ys[None, :] + s * xs[:, None])     # y_src = s·x + y  → [W, H]
-    out_v_pass = col_resample(x, src_y, fill)
+    src_x = xs[None, :] + s * (ys[:, None] + c)   # x_src = x + s·y
+    out_h_pass = row_resample(x, src_x, fill, kernel)
+    src_y = ys[None, :] + s * (xs[:, None] + c)   # y_src = s·x + y  → [W, H]
+    out_v_pass = col_resample(x, src_y, fill, kernel)
     if isinstance(horizontal, bool):
         return out_h_pass if horizontal else out_v_pass
     return jnp.where(horizontal, out_h_pass, out_v_pass)
 
 
-@partial(jax.jit, static_argnames=("out_hw", "fill"))
+@partial(jax.jit, static_argnames=("out_hw", "fill", "kernel"))
 def scale_translate_warp(img: Array, scale_xy: Array, offset_xy: Array,
                          out_hw: Tuple[int, int],
-                         fill: float | None = None) -> Array:
+                         fill: float | None = None,
+                         kernel: str = "bilinear") -> Array:
     """Axis-aligned affine (skew/crop ops): x_src = sx·x + ox, y_src = sy·y + oy.
 
     The source position depends only on the *output* coordinate, so each pass
@@ -135,8 +213,8 @@ def scale_translate_warp(img: Array, scale_xy: Array, offset_xy: Array,
     def shared_weights(src: Array, k_dim: int) -> Tuple[Array, Array]:
         k = jnp.arange(k_dim, dtype=jnp.float32)
         pos = src if fill is not None else jnp.clip(src, 0.0, k[-1])
-        w = _tri(k[:, None] - pos[None, :])          # [K, out]
-        inb = (src >= 0.0) & (src <= k[-1])
+        w = _weights(k[:, None], pos[None, :], kernel)   # [K, out]
+        inb = _in_bounds(src, k[-1], kernel)
         return w, inb
 
     # vertical first (no column dependence)

@@ -66,8 +66,8 @@ class StepFns:
     mesh: Mesh
     # whole-val-set eval in ONE program (scan over [K, B] index batches
     # against the device-resident dataset): one dispatch + one fetch per
-    # eval instead of K. None on multi-device meshes (per-batch sharded
-    # eval is used there).
+    # eval instead of K. On multi-device meshes each chunk's batch dim is
+    # sharded over `data` (sel/mask [K, B] with B split across devices).
     eval_chain_gather: Optional[Callable] = None
     eval_chain_ema_gather: Optional[Callable] = None
 
@@ -362,8 +362,26 @@ def build_step_fns(
         in_shardings=(repl, data4, data1, data1),
         out_shardings=(repl, data1),
     )
+    # Whole-val-set chained eval on the mesh: the dataset is replicated,
+    # sel/mask chunks [K, B] shard their batch dim over `data` (each device
+    # gathers + evaluates only its rows; XLA inserts the metric psum),
+    # preds come back [K, B] sharded the same way. One dispatch + one fetch
+    # per eval — the per-batch overhead the chain exists to kill is paid
+    # per-epoch on exactly the configuration the north star targets.
+    eval_chain_jit = jax.jit(
+        eval_chain_gather,
+        in_shardings=(repl, repl, repl, chain1, chain1),
+        out_shardings=(repl, chain1),
+    )
+    eval_chain_ema_jit = jax.jit(
+        eval_chain_ema_gather,
+        in_shardings=(repl, repl, repl, chain1, chain1),
+        out_shardings=(repl, chain1),
+    )
     return StepFns(train_step=train_jit, train_step_chain=chain_jit,
                    train_step_gather=gather_jit,
                    eval_step=eval_jit, eval_step_ema=eval_ema_jit,
                    eval_step_gather=eval_gather_jit,
-                   eval_step_ema_gather=eval_ema_gather_jit, mesh=mesh)
+                   eval_step_ema_gather=eval_ema_gather_jit, mesh=mesh,
+                   eval_chain_gather=eval_chain_jit,
+                   eval_chain_ema_gather=eval_chain_ema_jit)

@@ -15,6 +15,8 @@ from leaffliction_tpu.parallel.mesh import MeshSpec, make_mesh
 from leaffliction_tpu.train.config import TrainConfig
 from leaffliction_tpu.train.steps import build_step_fns, create_train_state
 
+pytestmark = pytest.mark.slow  # e2e-scale; inner loop: -m 'not slow'
+
 
 def _data(k, batch, img, classes, seed=0):
     rng = np.random.default_rng(seed)

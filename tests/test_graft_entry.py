@@ -6,10 +6,13 @@ the function directly, so the forcing must live inside the function. These
 tests call the entry points exactly the way the driver does.
 """
 
+import pytest
 import subprocess
 import sys
 
 import numpy as np
+
+pytestmark = pytest.mark.slow  # e2e-scale; inner loop: -m 'not slow'
 
 
 def test_dryrun_multichip_inprocess():

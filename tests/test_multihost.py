@@ -8,11 +8,14 @@ other 2, so per-host step counts would differ without the global step
 derivation. See tools/multihost_smoke.py for what each worker exercises.
 """
 
+import pytest
 import os
 import socket
 import subprocess
 import sys
 from pathlib import Path
+
+pytestmark = pytest.mark.slow  # e2e-scale; inner loop: -m 'not slow'
 
 SCRIPT = Path(__file__).resolve().parents[1] / "tools" / "multihost_smoke.py"
 

@@ -1,9 +1,12 @@
 """Checkpoint/resume: interrupted training continues from the saved epoch."""
 
+import pytest
 import json
 
 from leaffliction_tpu.cli import split as split_cli
 from leaffliction_tpu.cli import train as train_cli
+
+pytestmark = pytest.mark.slow  # e2e-scale; inner loop: -m 'not slow'
 
 
 def test_train_checkpoint_and_resume(tiny_dataset, tmp_path):

@@ -12,6 +12,8 @@ from leaffliction_tpu.cli import predict as predict_cli
 from leaffliction_tpu.cli import split as split_cli
 from leaffliction_tpu.cli import train as train_cli
 
+pytestmark = pytest.mark.slow  # e2e-scale; inner loop: -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def trained(tiny_dataset, tmp_path_factory):
