@@ -274,6 +274,87 @@ def bench_pil_pool_baseline() -> tuple[float, int]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_train_mfu() -> dict:
+    """Measured MFU + throughput of the jitted train step (bf16, 224px).
+
+    FLOPs come from XLA's compiled-step cost analysis (optimized HLO); time
+    from chained steps with device-generated batches (zero host→device pixel
+    traffic) synced by a scalar fetch. MFU = flops/step / (t_step · peak).
+    Configs: leafcnn-base @ the reference's default b32, leafcnn-base @ b128
+    (throughput mode), resnet18 @ b128 (BASELINE config 4 shape).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return {}
+
+    from leaffliction_tpu.models.leafcnn import build_leafcnn
+    from leaffliction_tpu.models.resnet import build_resnet
+    from leaffliction_tpu.parallel.mesh import MeshSpec, make_mesh
+    from leaffliction_tpu.train.config import TrainConfig
+    from leaffliction_tpu.train.flops import compiled_flops, device_peak_flops
+    from leaffliction_tpu.train.steps import build_step_fns, create_train_state
+
+    peak = device_peak_flops()
+    mesh = make_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    cfg = TrainConfig.regularized()
+    out: dict = {}
+
+    configs = (
+        ("leafcnn_b32",
+         lambda: build_leafcnn(num_classes=8, scale="base",
+                               dtype=jnp.bfloat16), 32, 8),
+        ("leafcnn_b128",
+         lambda: build_leafcnn(num_classes=8, scale="base",
+                               dtype=jnp.bfloat16), 128, 4),
+        ("resnet18_b128",
+         lambda: build_resnet(num_classes=8, preset="resnet18",
+                              dtype=jnp.bfloat16), 128, 4),
+    )
+    for tag, make_model, batch, chain in configs:
+        try:
+            model = make_model()
+            fns = build_step_fns(model, cfg, 8, total_steps=1000, mesh=mesh)
+            state = create_train_state(model, cfg, img_size=IMG, seed=0)
+
+            @jax.jit
+            def gen_batches(chain=chain, batch=batch):
+                n = chain * batch * IMG * IMG * 3
+                imgs = (jnp.arange(n, dtype=jnp.int32) % 251).astype(
+                    jnp.uint8).reshape(chain, batch, IMG, IMG, 3)
+                labels = (jnp.arange(chain * batch, dtype=jnp.int32) % 8
+                          ).reshape(chain, batch)
+                return imgs, labels, jnp.ones((chain, batch), jnp.float32)
+
+            imgs, labels, mask = gen_batches()
+            key = jax.random.key(1)
+            flops_chain = compiled_flops(fns.train_step_chain, state, imgs,
+                                         labels, mask, key)
+            # warm (compile is persistently cached across rounds)
+            state, metrics = fns.train_step_chain(state, imgs, labels, mask,
+                                                  key)
+            assert np.isfinite(float(jnp.sum(metrics["loss"])))
+            reps = 3
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                state, metrics = fns.train_step_chain(state, imgs, labels,
+                                                      mask, key)
+            assert np.isfinite(float(jnp.sum(metrics["loss"])))  # sync
+            dt = (time.perf_counter() - t0) / (reps * chain)
+            out[f"ms_per_step_{tag}"] = round(dt * 1e3, 2)
+            out[f"img_per_sec_{tag}"] = round(batch / dt, 1)
+            if flops_chain and peak:
+                m = (flops_chain / chain) / (dt * peak)
+                out[f"mfu_pct_{tag}"] = round(100.0 * m, 1)
+        except Exception as exc:  # relay hiccups must not sink the bench
+            out[f"error_{tag}"] = str(exc)[:120]
+    if "mfu_pct_resnet18_b128" in out:
+        out["train_mfu_pct"] = out["mfu_pct_resnet18_b128"]
+        out["train_img_per_sec"] = out["img_per_sec_resnet18_b128"]
+    return out
+
+
 def main() -> None:
     device_ips = bench_device()
     # best-of-2 stabilizes the noisy single-core PIL denominator

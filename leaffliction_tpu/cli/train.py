@@ -86,6 +86,23 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "of keeping the uint8 dataset resident in HBM and "
                         "gathering batches by index (the default when the "
                         "dataset fits)")
+    p.add_argument("--balance-from", type=Path, default=None,
+                   help="Fused balance→split→train: run the class-balancing "
+                        "augmentation ON DEVICE straight into the training "
+                        "dataset (no JPEG round-trip), apply the ratio "
+                        "split in memory, then train. Reference workflow "
+                        "balance→split→train as ONE command with zero "
+                        "pixel downloads")
+    p.add_argument("--val-ratio", type=float, default=0.2,
+                   help="Validation ratio for the in-memory split "
+                        "(--balance-from only; split CLI default)")
+    p.add_argument("--split-seed", type=int, default=32,
+                   help="Seed for the in-memory split shuffle "
+                        "(--balance-from only; split CLI default)")
+    p.add_argument("--materialize-augmented", action="store_true",
+                   help="Also write the augmented JPEG tree to "
+                        "augmented_directory/ (reference artifact parity; "
+                        "off the training critical path)")
     args = p.parse_args(argv)
     for name in ("tiny", "small", "base"):
         if getattr(args, name, False):
@@ -112,22 +129,32 @@ def main(argv=None) -> None:
     random.seed(args.seed)
     np.random.seed(args.seed)
 
-    try:
-        manifest_path = validate_manifest(args.manifest)
-    except FileNotFoundError as exc:
-        LOGGER.error("Training failed: %s", exc)
-        return
+    fused = args.balance_from is not None
+    if fused:
+        manifest_path = args.balance_from  # recorded in meta below
+        if not args.balance_from.exists():
+            LOGGER.error("Training failed: dataset directory not found: %s",
+                         args.balance_from)
+            return
+        train_items = val_items = None  # built by the fused path below
+        label2idx = {}
+    else:
+        try:
+            manifest_path = validate_manifest(args.manifest)
+        except FileNotFoundError as exc:
+            LOGGER.error("Training failed: %s", exc)
+            return
 
-    _, items = load_manifest(manifest_path)
-    train_items = select_items(items, "train")
-    val_items = select_items(items, "val")
-    if not train_items or not val_items:
-        LOGGER.error("Insufficient data (train=%d, val=%d)",
-                     len(train_items), len(val_items))
-        return
-    label2idx = build_label_mapping(train_items)
-    num_classes = len(label2idx)
-    LOGGER.info("Classes: %d", num_classes)
+        _, items = load_manifest(manifest_path)
+        train_items = select_items(items, "train")
+        val_items = select_items(items, "val")
+        if not train_items or not val_items:
+            LOGGER.error("Insufficient data (train=%d, val=%d)",
+                         len(train_items), len(val_items))
+            return
+        label2idx = build_label_mapping(train_items)
+        num_classes = len(label2idx)
+        LOGGER.info("Classes: %d", num_classes)
 
     # Heavy imports after validation so --help stays fast
     import jax
@@ -149,37 +176,95 @@ def main(argv=None) -> None:
     LOGGER.info("Mode: %s -> %s", "FAST" if args.fast else "REGULARIZED",
                 cfg.as_dict())
 
-    pad_to_steps = None
-    if jax.process_count() > 1:
-        from leaffliction_tpu.data.loader import (
-            global_steps_per_epoch,
-            items_for_process,
+    fused_dd = None  # ((train_imgs, train_labels), (val_imgs, val_labels))
+    if fused:
+        if jax.process_count() > 1:
+            LOGGER.error("--balance-from is single-process (the fused "
+                         "dataset lives in one host's device HBM); use the "
+                         "balance/split/train CLIs separately on multi-host")
+            return
+        import jax.numpy as jnp
+
+        from leaffliction_tpu.data.fused_balance import (
+            balance_to_device,
+            split_fused_result,
         )
+        from leaffliction_tpu.data.loader import DeviceImageStore
 
-        # Same collective step count on every host regardless of shard size
-        # (stride shards differ by up to 1 item; decode failures vary too).
-        pad_to_steps = global_steps_per_epoch(len(train_items),
-                                              args.batch_size)
-        train_items = items_for_process(train_items)
-        LOGGER.info("Host %d/%d loads %d train items (%d steps/epoch)",
-                    jax.process_index(), jax.process_count(),
-                    len(train_items), pad_to_steps)
+        res = balance_to_device(
+            args.balance_from, args.img_size, seed=args.seed,
+            materialize=args.materialize_augmented,
+        )
+        train_rows, val_rows = split_fused_result(
+            res, val_ratio=args.val_ratio, split_seed=args.split_seed,
+            src_root=args.balance_from,
+        )
+        if len(train_rows) == 0 or len(val_rows) == 0:
+            LOGGER.error("Insufficient data (train=%d, val=%d)",
+                         len(train_rows), len(val_rows))
+            return
+        label2idx = res.label2idx
+        num_classes = len(label2idx)
+        LOGGER.info("Classes: %d (fused: %d originals + %d augmented; "
+                    "train=%d val=%d)", num_classes, res.n_original,
+                    res.n_generated, len(train_rows), len(val_rows))
 
-    t_load = time.perf_counter()
-    train_store = ImageStore(train_items, label2idx, args.img_size)
-    val_store = ImageStore(val_items, label2idx, args.img_size)
-    LOGGER.info("Decoded %d train + %d val images in %.1fs",
-                len(train_store), len(val_store),
-                time.perf_counter() - t_load)
+        all_imgs = res.device_images
+        if args.transform:
+            from leaffliction_tpu.data.loader import (
+                apply_training_transform_device,
+            )
 
-    if args.transform:
-        from leaffliction_tpu.data.loader import apply_training_transform
+            t_tf = time.perf_counter()
+            all_imgs = apply_training_transform_device(all_imgs)
+            LOGGER.info("Training transform applied on device in %.1fs",
+                        time.perf_counter() - t_tf)
+        labels_dev = jnp.asarray(res.labels)
+        fused_dd = (
+            (jnp.take(all_imgs, jnp.asarray(train_rows), axis=0),
+             jnp.take(labels_dev, jnp.asarray(train_rows), axis=0)),
+            (jnp.take(all_imgs, jnp.asarray(val_rows), axis=0),
+             jnp.take(labels_dev, jnp.asarray(val_rows), axis=0)),
+        )
+        del all_imgs  # let XLA release the combined buffer
+        train_store = DeviceImageStore(res.labels[train_rows], args.img_size)
+        val_store = DeviceImageStore(res.labels[val_rows], args.img_size)
+        train_items = [res.items[i] for i in train_rows]
+        val_items = [res.items[i] for i in val_rows]
+        pad_to_steps = None
+    else:
+        pad_to_steps = None
+        if jax.process_count() > 1:
+            from leaffliction_tpu.data.loader import (
+                global_steps_per_epoch,
+                items_for_process,
+            )
 
-        t_tf = time.perf_counter()
-        apply_training_transform(train_store)
-        apply_training_transform(val_store)
-        LOGGER.info("Training transform applied in %.1fs",
-                    time.perf_counter() - t_tf)
+            # Same collective step count on every host regardless of shard
+            # size (stride shards differ by up to 1 item; decode failures
+            # vary too).
+            pad_to_steps = global_steps_per_epoch(len(train_items),
+                                                  args.batch_size)
+            train_items = items_for_process(train_items)
+            LOGGER.info("Host %d/%d loads %d train items (%d steps/epoch)",
+                        jax.process_index(), jax.process_count(),
+                        len(train_items), pad_to_steps)
+
+        t_load = time.perf_counter()
+        train_store = ImageStore(train_items, label2idx, args.img_size)
+        val_store = ImageStore(val_items, label2idx, args.img_size)
+        LOGGER.info("Decoded %d train + %d val images in %.1fs",
+                    len(train_store), len(val_store),
+                    time.perf_counter() - t_load)
+
+        if args.transform:
+            from leaffliction_tpu.data.loader import apply_training_transform
+
+            t_tf = time.perf_counter()
+            apply_training_transform(train_store)
+            apply_training_transform(val_store)
+            LOGGER.info("Training transform applied in %.1fs",
+                        time.perf_counter() - t_tf)
 
     train_iter = BatchIterator(train_store, args.batch_size, shuffle=True,
                                seed=args.seed, pad_to_steps=pad_to_steps)
@@ -208,14 +293,22 @@ def main(argv=None) -> None:
     LOGGER.info("Mesh: %s over %d %s device(s)", dict(mesh.shape),
                 mesh.size, jax.devices()[0].device_kind)
 
+    if fused_dd is not None and mesh.size > 1:
+        from leaffliction_tpu.parallel.mesh import replicated
+
+        fused_dd = jax.device_put(fused_dd, replicated(mesh))
+
     total_steps = train_iter.steps_per_epoch() * args.epochs
     step_fns = build_step_fns(model, cfg, num_classes, total_steps, mesh)
     state = create_train_state(model, cfg, args.img_size, args.seed)
 
     # adaptive normalization on ≤2048 train samples (`srcs/model/cnn.py:107-131`)
     if not args.no_normalization:
-        sample = sample_batch(train_store, 2048)
-        mean, var = compute_norm_stats(jnp.asarray(sample))
+        if fused_dd is not None:
+            sample = fused_dd[0][0][:2048]  # stays on device
+        else:
+            sample = jnp.asarray(sample_batch(train_store, 2048))
+        mean, var = compute_norm_stats(sample)
         state = state.replace(norm_stats={"mean": mean, "var": var})
         LOGGER.info("Adapted normalization: mean=%s", np.asarray(mean))
 
@@ -304,8 +397,10 @@ def main(argv=None) -> None:
     # Device-resident dataset: the whole uint8 store lives in HBM; steps
     # gather batches by index. Decisive on bandwidth-bound host↔device
     # links. Cap at 6 GB to leave HBM room for model/activations.
+    # (The fused path's dataset is ALREADY device-resident.)
     dataset_bytes = train_store.images.nbytes + val_store.images.nbytes
-    device_dataset = (not args.no_device_dataset
+    device_dataset = (fused_dd is None
+                      and not args.no_device_dataset
                       and jax.process_count() == 1
                       and dataset_bytes < 6e9)
     if device_dataset:
@@ -317,7 +412,9 @@ def main(argv=None) -> None:
                  target_val_acc=args.target_val_acc,
                  start_epoch=start_epoch, history=history,
                  epoch_callback=epoch_callback, chain_steps=chain_steps,
-                 device_dataset=device_dataset)
+                 device_dataset=device_dataset,
+                 train_device_data=fused_dd[0] if fused_dd else None,
+                 val_device_data=fused_dd[1] if fused_dd else None)
 
     if profile_ctx:
         jax.profiler.stop_trace()
@@ -327,7 +424,9 @@ def main(argv=None) -> None:
                 result.images_per_sec, result.val_accuracy,
                 result.best_variant)
 
-    _, _, y_true, y_pred = evaluate(step_fns, result.state, val_iter)
+    _, _, y_true, y_pred = evaluate(
+        step_fns, result.state, val_iter,
+        device_data=fused_dd[1] if fused_dd else None)
     save_training_artifacts(
         args.out_dir, result.state, label2idx, result.history,
         result.best_variant, y_true, y_pred, meta=meta,

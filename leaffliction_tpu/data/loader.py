@@ -122,6 +122,34 @@ class ImageStore:
         return np.nonzero(self.valid)[0].astype(np.int32)
 
 
+class DeviceImageStore:
+    """ImageStore-shaped view whose pixels live ONLY in device HBM.
+
+    Used by the fused balance→train path (`data/fused_balance.py`): the
+    trainer's gather step selects rows out of a device-resident uint8 array
+    by index, so the host never holds the augmented pixels at all.
+    `images` is a zero-filled placeholder (never-written numpy zeros are
+    copy-on-write virtual pages — no real RAM) that satisfies
+    `BatchIterator`'s fancy-indexing; training MUST run the gather path
+    (`fit(train_device_data=...)`), which ignores host batch pixels."""
+
+    def __init__(self, labels: np.ndarray, img_size: int) -> None:
+        self.items: list = []
+        self.img_size = img_size
+        self.labels = np.asarray(labels, np.int32)
+        n = len(self.labels)
+        self.images = np.zeros((n, img_size, img_size, 3), np.uint8)
+        self.valid = np.ones((n,), bool)
+        self.host_pixels = False
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+    @property
+    def valid_indices(self) -> np.ndarray:
+        return np.nonzero(self.valid)[0].astype(np.int32)
+
+
 class BatchIterator:
     """Static-shape batch stream over an ImageStore."""
 
@@ -284,6 +312,50 @@ def apply_training_transform(store: ImageStore, cfg=None,
             Image.fromarray(store.images[i]).save(
                 out_dir / f"preview_{i}.jpg", quality=95)
         LOGGER.info("Saved transform previews to %s", out_dir)
+
+
+def apply_training_transform_device(images_dev, cfg=None,
+                                    device_batch: int = 64):
+    """Device-to-device variant of `apply_training_transform` for the fused
+    balance→train path: uint8 [N, S, S, 3] in HBM → mask-segmented (leaf on
+    white) uint8 in HBM. Pixels never visit the host — only the per-chunk
+    mask scores are fetched (bytes) for the rare Otsu-fallback resolution."""
+    import jax
+    import jax.numpy as jnp
+
+    from leaffliction_tpu.segment.config import TransformConfig
+    from leaffliction_tpu.segment.mask import (
+        finalize_mask_batch,
+        make_mask_batch_async,
+    )
+
+    cfg = cfg or TransformConfig(mask_upscale_factor=1.0,
+                                 mask_upscale_long_side=0,
+                                 grabcut_refine=False)
+
+    @jax.jit
+    def _apply(chunk, masks):
+        return jnp.where(masks[..., None], chunk,
+                         jnp.uint8(255)).astype(jnp.uint8)
+
+    n = images_dev.shape[0]
+    pending = []
+    for start in range(0, n, device_batch):
+        chunk = images_dev[start:start + device_batch]
+        used = chunk.shape[0]
+        if used < device_batch:  # pad to the static batch (one program)
+            pad = jnp.repeat(chunk[:1], device_batch - used, axis=0)
+            chunk = jnp.concatenate([chunk, pad], axis=0)
+        masks, scores = make_mask_batch_async(chunk, cfg)
+        pending.append((chunk, masks, scores, used))
+    outs = []
+    for chunk, masks, scores, used in pending:
+        masks = finalize_mask_batch(chunk, masks, scores, cfg)
+        outs.append(_apply(chunk, masks)[:used])
+    out = jnp.concatenate(outs, axis=0) if outs else images_dev
+    LOGGER.info("Applied training transform on device to %d images "
+                "(no pixel downloads)", n)
+    return out
 
 
 def global_steps_per_epoch(global_item_count: int, batch_size: int,

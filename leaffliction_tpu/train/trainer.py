@@ -252,6 +252,8 @@ def fit(
     epoch_callback=None,
     chain_steps: int = 1,
     device_dataset: bool = False,
+    train_device_data: Optional[Tuple[jax.Array, jax.Array]] = None,
+    val_device_data: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> FitResult:
     """Run the training loop.
 
@@ -263,12 +265,26 @@ def fit(
     `device_dataset=True` uploads the full uint8 train/val stores to HBM once
     and drives every step by gather indices — per-step host→device traffic
     becomes negligible (single-process only: each host's indices refer to its
-    own local store).
+    own local store). `train_device_data`/`val_device_data` supply an
+    ALREADY-device-resident (images, labels) pair — the fused balance→train
+    handoff (`data/fused_balance.py`), where the pixels were produced on
+    device and never existed on the host.
     """
     root_key = jax.random.key(seed)
-    gather = device_dataset and jax.process_count() == 1
+    prebuilt = train_device_data is not None
+    if prebuilt and jax.process_count() > 1:
+        raise ValueError("fused device-resident training is single-process; "
+                         "use the streamed path on multi-host slices")
+    gather = (device_dataset or prebuilt) and jax.process_count() == 1
     train_dd = val_dd = None
-    if gather:
+    if prebuilt:
+        assert val_device_data is not None
+        train_dd, val_dd = train_device_data, val_device_data
+        LOGGER.info(
+            "Fused device-resident dataset: %.0f MB train + %.0f MB val "
+            "in HBM (no host copy ever existed)",
+            train_dd[0].nbytes / 1e6, val_dd[0].nbytes / 1e6)
+    elif gather:
         train_dd = put_dataset(train_iter.store, step_fns.mesh)
         val_dd = put_dataset(val_iter.store, step_fns.mesh)
         LOGGER.info(
