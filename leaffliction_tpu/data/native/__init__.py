@@ -28,7 +28,11 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not _LIB_PATH.exists():
+        src = _DIR / "decoder.cpp"
+        stale = (not _LIB_PATH.exists()
+                 or (src.exists()
+                     and src.stat().st_mtime > _LIB_PATH.stat().st_mtime))
+        if stale:  # (re)build before dlopen — dlopen caches per process
             subprocess.run(["sh", str(_DIR / "build.sh")], check=True,
                            capture_output=True, timeout=120)
         lib = ctypes.CDLL(str(_LIB_PATH))
@@ -49,6 +53,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_size_t)]
         lib.leaf_encode_jpeg.restype = ctypes.c_int
+        lib.leaf_decode_batch_resize.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        lib.leaf_decode_batch_resize.restype = ctypes.c_int
         _lib = lib
     except Exception as exc:
         LOGGER.warning("Native JPEG helper unavailable (%s); using PIL", exc)
@@ -110,6 +118,28 @@ def encode(path: str, rgb: np.ndarray, quality: int = 95) -> None:
     if rc != 0:
         raise ValueError(f"JPEG encode failed (rc={rc})")
     Path(path).write_bytes(out[:out_len.value].tobytes())
+
+
+def decode_batch_resize(paths, img_size: int,
+                        n_threads: int = 0) -> tuple:
+    """Decode many JPEG files → (uint8 [n, S, S, 3], ok bool [n]) in ONE
+    ctypes call; the C++ side fans out over its own thread pool (the GIL is
+    released for the whole batch instead of per image). Failed entries have
+    ok=False and zeroed pixels — callers fall back per image (PIL handles
+    the .png inputs the predict CLI globs, like the reference)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    n = len(paths)
+    out = np.zeros((n, img_size, img_size, 3), np.uint8)
+    status = np.full((n,), -1, np.int32)
+    if n == 0:
+        return out, status == 0
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.leaf_decode_batch_resize(
+        arr, n, img_size, out.ctypes.data_as(ctypes.c_void_p),
+        status.ctypes.data_as(ctypes.c_void_p), n_threads)
+    return out, status == 0
 
 
 def decode_resize_native(path: str, img_size: int) -> np.ndarray:

@@ -21,10 +21,12 @@
 #include <jpeglib.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <csetjmp>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -187,6 +189,53 @@ int leaf_decode_jpeg(const uint8_t* data, size_t len, uint8_t* out,
   if (!decode_common(data, len, 0, &pixels, w, h)) return -1;
   if (pixels.size() > cap) return -2;
   std::memcpy(out, pixels.data(), pixels.size());
+  return 0;
+}
+
+// Batched decode+resize on the library's OWN thread pool: one ctypes call
+// decodes n files into out[n*target*target*3]. Per-image status: 0 ok,
+// -1 read/decode failure (caller falls back per image). n_threads<=0 picks
+// hardware_concurrency. Decode state is per-call-frame, so workers are
+// fully independent; the single ctypes call releases the GIL for the whole
+// batch (Python thread pools pay per-image call overhead instead).
+int leaf_decode_batch_resize(const char** paths, int n, int target,
+                             uint8_t* out, int* status, int n_threads) {
+  if (n <= 0 || target <= 0) return 0;
+  int workers = n_threads > 0
+                    ? n_threads
+                    : static_cast<int>(std::thread::hardware_concurrency());
+  workers = std::max(1, std::min(workers, n));
+  std::atomic<int> next(0);
+  const size_t img_bytes = static_cast<size_t>(target) * target * 3;
+
+  auto work = [&]() {
+    std::vector<uint8_t> data;
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      status[i] = -1;
+      FILE* f = std::fopen(paths[i], "rb");
+      if (!f) continue;
+      std::fseek(f, 0, SEEK_END);
+      const long sz = std::ftell(f);
+      std::fseek(f, 0, SEEK_SET);
+      if (sz <= 0) {
+        std::fclose(f);
+        continue;
+      }
+      data.resize(static_cast<size_t>(sz));
+      const size_t got = std::fread(data.data(), 1, data.size(), f);
+      std::fclose(f);
+      if (got != data.size()) continue;
+      status[i] = leaf_decode_jpeg_resize(data.data(), data.size(), target,
+                                          out + static_cast<size_t>(i) *
+                                                    img_bytes);
+    }
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(workers);
+  for (int t = 0; t < workers; ++t) threads.emplace_back(work);
+  for (auto& t : threads) t.join();
   return 0;
 }
 

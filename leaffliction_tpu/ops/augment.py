@@ -171,23 +171,41 @@ def flip_batch(keys: Array, imgs: Array) -> Array:
     return jax.vmap(_flip_one)(keys, imgs)
 
 
+def _rotate_vmem_bytes(canvas: Tuple[int, int], interleaved: bool) -> int:
+    """Per-program VMEM footprint of the Pallas rotate (2 f32 scratch
+    canvases + in/out blocks), for the kernel-variant choice below."""
+    oh, ow = canvas
+    ph = (oh + 7) // 8 * 8
+    pw = (((3 * ow if interleaved else ow) + 127) // 128) * 128
+    return 2 * ph * pw * 4 + ph * pw  # scratch A+B f32 + u8 out block
+
+
 @jax.jit
 def rotate_batch(keys: Array, imgs: Array) -> Tuple[Array, Array]:
     """→ (canvas-size batch, angles). Host crops with `pil_expanded_size`."""
     h, w = imgs.shape[1], imgs.shape[2]
     canvas = rotate_canvas_hw(h, w)
     if _use_pallas_warps():
-        # interleaved-channel variant: one program per image, no
-        # transposes; 2.05 vs 2.12 ms/batch-128 for the per-channel kernel
-        # (both are barrel-roll-traffic-bound — see ops/pallas/rotate.py)
-        from leaffliction_tpu.ops.pallas.rotate import rotate_batch_pallas_nhwc
-
         angles = jax.vmap(
             lambda k: jax.random.uniform(k, (), jnp.float32,
                                          -MAX_ROTATE_DEG, MAX_ROTATE_DEG)
         )(keys)
-        return rotate_batch_pallas_nhwc(imgs, angles, canvas,
-                                        fill=255.0), angles
+        # Interleaved-channel variant (one program per IMAGE, no
+        # transposes; 2.05 vs 2.12 ms/batch-128 for per-channel at 224)
+        # while its 3·W-lane scratch fits VMEM comfortably; at large
+        # canvases (≥ ~448px inputs, ~12 MB of scratch at 512 vs the
+        # ~16 MB budget) fall back to the per-channel kernel, whose
+        # scratch grows 3x slower (~4.7 MB at 512).
+        if _rotate_vmem_bytes(canvas, interleaved=True) <= 8 * 1024 * 1024:
+            from leaffliction_tpu.ops.pallas.rotate import (
+                rotate_batch_pallas_nhwc,
+            )
+
+            return rotate_batch_pallas_nhwc(imgs, angles, canvas,
+                                            fill=255.0), angles
+        from leaffliction_tpu.ops.pallas.rotate import rotate_batch_pallas
+
+        return rotate_batch_pallas(imgs, angles, canvas, fill=255.0), angles
     out, angles = jax.vmap(lambda k, x: _rotate_one(k, x, canvas))(keys, imgs)
     return _to_u8(out), angles
 

@@ -53,6 +53,65 @@ class Predictor:
         self._infer = infer
         return self
 
+    @classmethod
+    def from_model(cls, model, variables, labels, img_size: int
+                   ) -> "Predictor":
+        """Serving path over an in-memory model (no artifact dir) — used by
+        benchmarks and tests; the real CLIs go through `load()`."""
+        import jax
+        import jax.numpy as jnp
+
+        self = cls.__new__(cls)
+        self.learnings_dir = Path(".")
+
+        class _Stub:
+            pass
+
+        stub = _Stub()
+        stub.labels = list(labels)
+        stub.img_size = img_size
+        stub.model = model
+        stub.variables = variables
+        self.model_loader = stub
+
+        @jax.jit
+        def infer(images_u8):
+            x = images_u8.astype(jnp.float32) / 255.0
+            logits = model.apply(variables, x, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._infer = infer
+        return self
+
+    @staticmethod
+    def _decode_chunk(paths: List[Path], size: int):
+        """→ (uint8 [n,S,S,3], ok [n]) for one serving chunk. One batched
+        C++ call (its own threads, one GIL release) when the native decoder
+        is built; per-image fallback otherwise — failures fall back to PIL
+        per image (non-JPEG inputs), then report ok=False."""
+        import os
+
+        arrs = None
+        if os.environ.get("LEAF_NATIVE_DECODE", "1") != "0":
+            try:
+                from leaffliction_tpu.data import native
+
+                if native.native_available():
+                    arrs, ok = native.decode_batch_resize(paths, size)
+            except Exception:
+                arrs = None
+        if arrs is None:
+            arrs = np.zeros((len(paths), size, size, 3), np.uint8)
+            ok = np.zeros((len(paths),), bool)
+        decode = decode_resize_pil
+        for i in np.nonzero(~ok)[0]:
+            try:
+                arrs[i] = decode(str(paths[i]), size)
+                ok[i] = True
+            except Exception as exc:
+                LOGGER.warning("Failed to process %s: %s", paths[i], exc)
+        return arrs, ok
+
     # --- core batched forward ---------------------------------------------
 
     def _probs_for_arrays(self, arrays: np.ndarray) -> np.ndarray:
@@ -134,34 +193,26 @@ class Predictor:
         if not paths:
             return []
         size = self.model_loader.img_size
-        decode = default_decode_fn()
 
-        def _load(p: Path):
-            try:
-                return decode(str(p), size), True
-            except Exception as exc:
-                LOGGER.warning("Failed to process %s: %s", p, exc)
-                return np.zeros((size, size, 3), np.uint8), False
-
+        chunks = [paths[s:s + SERVING_BATCH]
+                  for s in range(0, len(paths), SERVING_BATCH)]
         pending = []  # (device_probs, rows_used)
         ok: List[bool] = []
-        buf: List[np.ndarray] = []
-        with cf.ThreadPoolExecutor(max_workers=8) as pool:
-            futures = [pool.submit(_load, p) for p in paths]
-            for i, fut in enumerate(futures):
-                arr, good = fut.result()
-                ok.append(good)
-                buf.append(arr)
-                if len(buf) == SERVING_BATCH or i == len(futures) - 1:
-                    chunk = np.stack(buf)
-                    used = chunk.shape[0]
-                    pad = SERVING_BATCH - used
-                    if pad:
-                        chunk = np.concatenate(
-                            [chunk, np.zeros((pad,) + chunk.shape[1:],
-                                             chunk.dtype)])
-                    pending.append((self._infer(chunk), used))
-                    buf = []
+        # two decode workers: chunk N+1 decodes (one batched C++ call each)
+        # while chunk N's upload/compute is in flight
+        with cf.ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [pool.submit(self._decode_chunk, c, size)
+                       for c in chunks]
+            for fut in futures:
+                chunk, good = fut.result()
+                ok.extend(bool(g) for g in good)
+                used = chunk.shape[0]
+                pad = SERVING_BATCH - used
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad,) + chunk.shape[1:],
+                                         chunk.dtype)])
+                pending.append((self._infer(chunk), used))
 
         probs = np.concatenate([
             np.asarray(jax.device_get(p))[:used] for p, used in pending
