@@ -145,7 +145,8 @@ def _cand_kmeans(rgb: Array, cfg: TransformConfig) -> Array:
 
 
 def _cand_enhanced(rgb: Array, hsv: Array, lab: Array,
-                   cfg: TransformConfig) -> Array:
+                   cfg: TransformConfig,
+                   edge_hysteresis: bool = False) -> Array:
     h_c, s_c, v_c = hsv[..., 0], hsv[..., 1], hsv[..., 2]
     l_c, a_c, b_c = lab[..., 0], lab[..., 1], lab[..., 2]
     lo, hi = cfg.green_hue_range
@@ -165,7 +166,12 @@ def _cand_enhanced(rgb: Array, hsv: Array, lab: Array,
                  & (v_c <= cfg.brown_v_max + 30))
 
     gray = rgb_to_gray(rgb)
-    edges = canny(gray, 30, 100, hysteresis=False) | canny(gray, 50, 150, hysteresis=False)
+    # hysteresis off by default: the 2x5 ellipse dilation right after makes
+    # the NMS+double-threshold edges equivalent for this candidate at the
+    # final-mask level (pinned by tests/test_hysteresis_delta.py), and the
+    # chain-connectivity pass costs ~32 extra CC iterations per image
+    edges = (canny(gray, 30, 100, hysteresis=edge_hysteresis)
+             | canny(gray, 50, 150, hysteresis=edge_hysteresis))
     edge_regions = dilate(dilate(edges, 5, "ellipse"), 5, "ellipse")
 
     veg = hsv_veg | lab_veg | brown
@@ -179,7 +185,8 @@ def _cand_enhanced(rgb: Array, hsv: Array, lab: Array,
 
 
 def _cand_inclusive(rgb: Array, hsv: Array, lab: Array,
-                    cfg: TransformConfig) -> Array:
+                    cfg: TransformConfig,
+                    edge_hysteresis: bool = False) -> Array:
     h_c, s_c, v_c = hsv[..., 0], hsv[..., 1], hsv[..., 2]
     l_c, a_c, b_c = lab[..., 0], lab[..., 1], lab[..., 2]
     r_c = rgb[..., 0].astype(jnp.float32)
@@ -203,7 +210,7 @@ def _cand_inclusive(rgb: Array, hsv: Array, lab: Array,
         | ((s_c <= 15) & (texture_diff < 10))
     )
 
-    edges = canny(gray, 30, 100, hysteresis=False)
+    edges = canny(gray, 30, 100, hysteresis=edge_hysteresis)
     dilated_edges = dilate(edges, 3, "ellipse")
 
     plant = (strong_green | green_dominant | lab_green | dilated_edges)
