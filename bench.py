@@ -321,6 +321,9 @@ def bench_train_mfu() -> dict:
         ("resnet18_b128",
          lambda: build_resnet(num_classes=8, preset="resnet18",
                               dtype=jnp.bfloat16), 128, 4),
+        ("resnet18_s2d_b128",
+         lambda: build_resnet(num_classes=8, preset="resnet18", stem="s2d",
+                              dtype=jnp.bfloat16), 128, 4),
     )
     for tag, make_model, batch, chain in configs:
         try:
@@ -339,8 +342,13 @@ def bench_train_mfu() -> dict:
 
             imgs, labels, mask = gen_batches()
             key = jax.random.key(1)
-            flops_chain = compiled_flops(fns.train_step_chain, state, imgs,
-                                         labels, mask, key)
+            # FLOPs from the SINGLE step: HLO cost analysis counts a scan
+            # body once regardless of trip count (verified: chain(K) and
+            # single-step programs report identical flops), so the chained
+            # program's count IS the per-step count — but take it from the
+            # un-chained step to make that invariant explicit.
+            flops_step = compiled_flops(fns.train_step, state, imgs[0],
+                                        labels[0], mask[0], key)
             # warm (compile is persistently cached across rounds)
             state, metrics = fns.train_step_chain(state, imgs, labels, mask,
                                                   key)
@@ -354,9 +362,10 @@ def bench_train_mfu() -> dict:
             dt = (time.perf_counter() - t0) / (reps * chain)
             out[f"ms_per_step_{tag}"] = round(dt * 1e3, 2)
             out[f"img_per_sec_{tag}"] = round(batch / dt, 1)
-            if flops_chain and peak:
-                m = (flops_chain / chain) / (dt * peak)
-                out[f"mfu_pct_{tag}"] = round(100.0 * m, 1)
+            if flops_step and peak:
+                out[f"gflops_per_step_{tag}"] = round(flops_step / 1e9, 1)
+                out[f"mfu_pct_{tag}"] = round(
+                    100.0 * flops_step / (dt * peak), 1)
         except Exception as exc:  # relay hiccups must not sink the bench
             out[f"error_{tag}"] = str(exc)[:120]
     if "mfu_pct_resnet18_b128" in out:
@@ -434,7 +443,7 @@ def bench_ref_pipeline() -> float:
             with cf.ProcessPoolExecutor(
                     max_workers=workers,
                     mp_context=mp.get_context("spawn")) as pool:
-                pool.map(_pil_pool_task, tasks[:workers])  # warm spawn
+                list(pool.map(_pil_pool_task, tasks[:workers]))  # warm spawn
                 t0 = time.perf_counter()
                 list(pool.map(_pil_pool_task, tasks))
                 t_pool = time.perf_counter() - t0

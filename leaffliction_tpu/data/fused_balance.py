@@ -306,6 +306,11 @@ def balance_to_device(
     if materialize:
         _materialize_jpegs(all_dev, items, tasks, source_dir, target_dir)
 
+    # Honest timing: jax dispatch is async (and block_until_ready is
+    # unreliable on relay transports) — fetch one pixel of the LAST row so
+    # balance_time_s covers the uploads and every kernel, not just their
+    # dispatch. Costs one tiny sync the consumer (trainer) would pay anyway.
+    np.asarray(jax.device_get(all_dev[-1, -1, -1]))
     dt = time.perf_counter() - t0
     LOGGER.info("Fused balancing complete: %d generated on device in %.1fs "
                 "(%.1f img/s, zero pixel downloads)", len(tasks), dt,
