@@ -193,8 +193,14 @@ def _augment_on_device(orig_dev, tasks: List[FusedTask], seed: int,
         kernel = BATCH_KERNELS[transform]
         for start in range(0, len(group), device_batch):
             chunk = group[start:start + device_batch]
-            sel = np.asarray([t.source_row for _, t in chunk], np.int32)
-            seeds = np.asarray([t.task_seed for _, t in chunk], np.uint32)
+            used = len(chunk)
+            # pad short chunks to the static device_batch: a partial chunk
+            # would otherwise compile a FRESH program per (transform, size)
+            # — six extra remote compilations per run on a cold cache
+            sel = np.zeros((device_batch,), np.int32)
+            seeds = np.zeros((device_batch,), np.uint32)
+            sel[:used] = [t.source_row for _, t in chunk]
+            seeds[:used] = [t.task_seed for _, t in chunk]
             imgs = gather(orig_dev, sel)
             keys = jax.vmap(
                 lambda s: jax.random.fold_in(root_key, s))(seeds)
@@ -203,7 +209,8 @@ def _augment_on_device(orig_dev, tasks: List[FusedTask], seed: int,
                 out = resize_rotated_jit(canvas, angles)
             else:
                 out = kernel(keys, imgs)
-            order.append((chunk[0][0], out))
+            order.append((chunk[0][0], out[:used] if used < device_batch
+                          else out))
 
     order.sort(key=lambda x: x[0])
     if not order:
@@ -265,10 +272,19 @@ def balance_to_device(
     if len(keep) < len(items):
         items = [items[i] for i in keep]
         orig = orig[keep]
+    t_decoded = time.perf_counter()
 
     tasks = build_fused_tasks(items, plan, target_dir, seed)
 
     orig_dev = jax.device_put(orig)
+    # sync the bulk upload so the stage split below is honest (the consumer
+    # needs these bytes on device regardless)
+    np.asarray(jax.device_get(orig_dev[-1, -1, -1]))
+    t_uploaded = time.perf_counter()
+    LOGGER.info("Fused balancing stages: decode %.1fs, upload %.0f MB in "
+                "%.1fs (%.1f MB/s)", t_decoded - t0, orig.nbytes / 1e6,
+                t_uploaded - t_decoded,
+                orig.nbytes / 1e6 / max(t_uploaded - t_decoded, 1e-9))
     aug_dev = _augment_on_device(orig_dev, tasks, seed, img_size,
                                  device_batch)
     all_dev = (jnp.concatenate([orig_dev, aug_dev], axis=0)
