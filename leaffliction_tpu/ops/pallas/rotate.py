@@ -99,7 +99,8 @@ def _shift_pass(x: Array, shift_per: Array, frac_per: Array, axis: int,
                 content_dim: int | None = None,
                 taps: str = "linear",
                 tap_f0: Array | None = None,
-                tap_upper: float | None = None) -> Array:
+                tap_upper: float | None = None,
+                max_shift: int | None = None) -> Array:
     """One shear pass over a VMEM-resident canvas.
 
     x: [H, W] f32. shift_per: int32 shifts (mod axis length), shaped [H, 1]
@@ -124,7 +125,19 @@ def _shift_pass(x: Array, shift_per: Array, frac_per: Array, axis: int,
         c = content_dim if content_dim is not None else dim
         edge_low = (x[0:1, :] if axis == 0 else x[:, 0:1])
         edge_high = (x[c - 1:c, :] if axis == 0 else x[:, c - 1:c])
-    n_bits = max(1, math.ceil(math.log2(dim)))
+    if max_shift is not None:
+        # Bias trick: `shift_per` is RAW (possibly negative) and every
+        # position whose true |shift| exceeds `max_shift` is covered by the
+        # validity masks (its rolled value is never read), so clamp, add a
+        # static bias to make shifts non-negative, pre-roll by the bias
+        # (static rotate — no select), and barrel only over
+        # ceil(log2(bias + max_shift + 1)) bits instead of log2(dim).
+        bias = 1 << max(0, (max_shift).bit_length())
+        shift_per = jnp.clip(shift_per, -max_shift, max_shift) + bias
+        x = pltpu.roll(x, bias, axis)                 # out[i] = x[i - bias]
+        n_bits = (bias + max_shift).bit_length()
+    else:
+        n_bits = max(1, math.ceil(math.log2(dim)))
     for b in range(n_bits):
         step = 1 << b
         if step >= dim:
@@ -434,6 +447,115 @@ def _rotate_clamp_kernel(angle_ref, img_ref, out_ref, a_ref, b_ref, *,
     b_ref[:] = row_pass(a_ref[:], t)
     a_ref[:] = col_pass(b_ref[:], s)
     out_ref[0, 0] = row_pass(a_ref[:], t)
+
+
+def _train_aug_kernel(angle_ref, factor_ref, img_ref, out_ref, a_ref, b_ref,
+                      *, hw: Tuple[int, int], max_angle_deg: float):
+    """Fused in-graph training augmentation (one program per image-channel):
+    uint8 dequant → same-canvas clamp rotation (3 barrel-shift passes) →
+    per-channel RandomContrast — everything between the uint8 load and the
+    f32 store stays in VMEM.
+
+    Replaces the composition in `ops/train_augment.py` (dequant pass +
+    f32 NCHW transposes + `rotate_batch_pallas_clamp_f32` + mean/apply
+    contrast passes), cutting its HBM traffic ~3x. The static
+    `max_angle_deg` bound enables the barrel bias trick (`_shift_pass`
+    `max_shift`): only content-region shifts are ever consumed unmasked —
+    pass-2/3 reads of larger-shift margin positions are covered by the
+    validity masks — so row passes barrel over ~6 bits instead of
+    log2(pw)=9.
+    """
+    h, w = hw
+    ph, pw = a_ref.shape
+
+    i = pl.program_id(0)
+    theta = angle_ref[i] * (math.pi / 180.0)
+    t = -jnp.tan(theta / 2.0)
+    s = jnp.sin(theta)
+    cy = (h - 1) / 2.0
+    cx = (w - 1) / 2.0
+
+    # static shift bounds over the content region (see docstring)
+    max_t = math.tan(math.radians(max_angle_deg) / 2.0)
+    max_s = math.sin(math.radians(max_angle_deg))
+    row_bound = int(math.ceil(max_t * (h - 1) / 2.0)) + 1
+    col_bound = int(math.ceil(max_s * (w - 1) / 2.0)) + 1
+
+    a_ref[:] = jnp.zeros((ph, pw), jnp.float32)
+    a_ref[0:h, 0:w] = (img_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
+                       / 255.0)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ph, 1), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, pw), 1).astype(jnp.float32)
+
+    def row_pass(src: Array, sh: Array) -> Array:
+        g = sh * (rows - cy)
+        k = jnp.floor(g)
+        _, lo_ok, hi_ok = _scaled_positions(sh, rows - cy, cols, w - 1.0)
+        return _shift_pass(src, k.astype(jnp.int32), g - k,
+                           1, lo_ok, hi_ok, None, content_dim=w,
+                           max_shift=row_bound)
+
+    def col_pass(src: Array, sh: Array) -> Array:
+        g = sh * (cols - cx)
+        k = jnp.floor(g)
+        _, lo_ok, hi_ok = _scaled_positions(sh, cols - cx, rows, h - 1.0)
+        return _shift_pass(src, k.astype(jnp.int32), g - k,
+                           0, lo_ok, hi_ok, None, content_dim=h,
+                           max_shift=col_bound)
+
+    b_ref[:] = row_pass(a_ref[:], t)
+    a_ref[:] = col_pass(b_ref[:], s)
+    final = row_pass(a_ref[:], t)
+
+    # RandomContrast about the per-channel content mean (Keras semantics,
+    # `srcs/model/cnn.py:75-83`), clipped to [0, 1]
+    mean = jnp.sum(final[0:h, 0:w]) / float(h * w)
+    factor = factor_ref[i]
+    out_ref[0, 0] = jnp.clip(mean + (final - mean) * factor, 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("max_angle_deg", "interpret"))
+def train_aug_rotate_contrast_pallas(imgs_u8: Array, angles_deg: Array,
+                                     factors: Array,
+                                     max_angle_deg: float = 18.0,
+                                     interpret: bool = False) -> Array:
+    """Fused rotate+contrast training augmentation: uint8 NHWC [B, h, w, 3]
+    (flip already applied upstream, where it fuses with the batch gather) +
+    per-image angles/contrast factors → float32 NHWC in [0, 1].
+
+    The NCHW transposes move uint8 in (4x less traffic than the f32
+    transpose of the unfused path); dequant, rotation, and contrast are one
+    VMEM-resident program per image-channel.
+    """
+    n, h, w, c = imgs_u8.shape
+    ph = _pad_to(h, _SUBLANE)
+    pw = _pad_to(w, _LANE)
+
+    nchw = jnp.transpose(imgs_u8, (0, 3, 1, 2))
+    angles1d = angles_deg.astype(jnp.float32).reshape(n)
+    factors1d = factors.astype(jnp.float32).reshape(n)
+
+    out = pl.pallas_call(
+        partial(_train_aug_kernel, hw=(h, w), max_angle_deg=max_angle_deg),
+        grid=(n, c),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ph, pw), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c, ph, pw), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((ph, pw), jnp.float32),
+            pltpu.VMEM((ph, pw), jnp.float32),
+        ],
+        interpret=interpret,
+    )(angles1d, factors1d, nchw)
+
+    return jnp.transpose(out[:, :, :h, :w], (0, 2, 3, 1))
 
 
 @partial(jax.jit, static_argnames=("interpret",))

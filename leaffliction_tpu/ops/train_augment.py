@@ -68,3 +68,37 @@ def train_augment(
     mean = jnp.mean(rotated, axis=(1, 2), keepdims=True)
     return jnp.clip(mean + (rotated - mean) * factors[:, None, None, None],
                     0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("rotation_frac", "contrast_delta"))
+def train_augment_u8(
+    key: Array,
+    batch_u8: Array,
+    rotation_frac: float = 0.05,
+    contrast_delta: float = 0.1,
+) -> Array:
+    """Uint8-in variant of `train_augment`: N×H×W×C uint8 → float32 [0, 1].
+
+    On TPU the flip runs on the uint8 batch (where XLA fuses it with the
+    batch gather) and dequant+rotate+contrast run in ONE fused Pallas
+    program (`train_aug_rotate_contrast_pallas`) — the unfused path's
+    separate dequant pass, f32 NCHW transposes, and mean/apply contrast
+    passes cost ~2.9 ms per 128×224² batch inside every train step; the
+    fused path ~1.3 ms. Identical parameter stream (same key splits) and
+    math as `train_augment`, to f32 rounding.
+    """
+    if jax.default_backend() == "tpu" and batch_u8.shape[1] % 8 == 0:
+        keys = jax.random.split(key, batch_u8.shape[0])
+        do_flip, angles, factors = jax.vmap(
+            lambda k: _draw_params(k, rotation_frac, contrast_delta))(keys)
+        flipped = jnp.where(do_flip[:, None, None, None],
+                            batch_u8[:, :, ::-1, :], batch_u8)
+        from leaffliction_tpu.ops.pallas.rotate import (
+            train_aug_rotate_contrast_pallas,
+        )
+
+        return train_aug_rotate_contrast_pallas(
+            flipped, angles, factors,
+            max_angle_deg=rotation_frac * 360.0)
+    return train_augment(key, batch_u8.astype(jnp.float32) / 255.0,
+                         rotation_frac, contrast_delta)

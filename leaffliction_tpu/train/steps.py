@@ -26,7 +26,7 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from leaffliction_tpu.models.leafcnn import LeafCNN
-from leaffliction_tpu.ops.train_augment import train_augment
+from leaffliction_tpu.ops.train_augment import train_augment_u8
 from leaffliction_tpu.train.config import TrainConfig
 
 Array = jax.Array
@@ -151,11 +151,13 @@ def build_step_fns(
 
     def train_step(state: TrainState, images: Array, labels: Array,
                    mask: Array, key: Array):
-        x = images.astype(jnp.float32) / 255.0
         if augment:
             k_aug, k_drop = jax.random.split(jax.random.fold_in(key, 0))
-            x = train_augment(k_aug, x)
+            # u8-in fused path: flip on uint8 (fuses with the batch
+            # gather), dequant+rotate+contrast in one Pallas program
+            x = train_augment_u8(k_aug, images)
         else:
+            x = images.astype(jnp.float32) / 255.0
             k_drop = key
 
         def loss_fn(params):

@@ -99,3 +99,50 @@ def test_pallas_rotate_nhwc_matches_einsum(hw):
     diff = np.abs(ref.astype(int) - got.astype(int))
     assert diff.max() <= 2
     assert (diff > 1).mean() < 0.002
+
+
+@pytest.mark.parametrize("hw", [(64, 64), (48, 80)])
+def test_fused_train_aug_kernel_matches_composition(hw):
+    """Fused dequant+rotate+contrast kernel == the unfused composition
+    (dequant -> einsum clamp rotate -> mean/apply contrast) to f32
+    rounding, including the barrel bias-trick (`max_shift`) path."""
+    from leaffliction_tpu.ops.pallas.rotate import (
+        train_aug_rotate_contrast_pallas,
+    )
+
+    h, w = hw
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (4, h, w, 3), np.uint8)
+    angles = np.array([-17.9, 0.0, 9.3, 17.5], np.float32)
+    factors = np.array([0.92, 1.0, 1.07, 1.1], np.float32)
+
+    x = jnp.asarray(imgs).astype(jnp.float32) / 255.0
+    rot = jax.vmap(lambda im, a: rotate_warp(im, a, (h, w), fill=None))(
+        x, jnp.asarray(angles))
+    mean = jnp.mean(rot, axis=(1, 2), keepdims=True)
+    ref = np.asarray(jnp.clip(
+        mean + (rot - mean) * factors[:, None, None, None], 0.0, 1.0))
+
+    got = np.asarray(train_aug_rotate_contrast_pallas(
+        jnp.asarray(imgs), jnp.asarray(angles), jnp.asarray(factors),
+        max_angle_deg=18.0, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    # zero angle, unit factor: pure dequant identity
+    np.testing.assert_allclose(got[1], np.asarray(x[1]), atol=1e-6)
+
+
+def test_train_augment_u8_fallback_matches_f32_path():
+    """On non-TPU backends `train_augment_u8` must reproduce
+    `train_augment` on the dequantized batch exactly (same key stream)."""
+    from leaffliction_tpu.ops.train_augment import (
+        train_augment,
+        train_augment_u8,
+    )
+
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 256, (3, 32, 32, 3), np.uint8)
+    key = jax.random.key(7)
+    a = np.asarray(train_augment(key, jnp.asarray(imgs).astype(jnp.float32)
+                                 / 255.0))
+    b = np.asarray(train_augment_u8(key, jnp.asarray(imgs)))
+    np.testing.assert_allclose(a, b, atol=1e-6)
