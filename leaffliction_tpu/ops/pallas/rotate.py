@@ -145,7 +145,7 @@ def _shift_pass(x: Array, shift_per: Array, frac_per: Array, axis: int,
         bit_on = ((shift_per >> b) & 1) == 1
         rolled = pltpu.roll(x, (-step) % dim, axis)   # out[i] = x[i + step]
         x = jnp.where(bit_on, rolled, x)
-    f = frac_per
+    f = frac_per.astype(x.dtype)   # keep bf16 canvases in bf16 through lerp
     nxt = pltpu.roll(x, (-1) % dim, axis)
     if taps == "cubic":
         # source = k + f; taps at k-1, k, k+1, k+2 with Keys weights
@@ -221,46 +221,86 @@ def _rotate_kernel(angle_ref, img_ref, out_ref, a_ref, b_ref, *,
                      .astype(jnp.int32).astype(jnp.uint8))
 
 
-def _shear_kernel(shr_ref, shc_ref, img_ref, out_ref, a_ref, b_ref, *,
-                  in_hw: Tuple[int, int], fill: float):
+def _shear_slab_kernel(shr_ref, shc_ref, img_ref, out_ref, a_ref, b_ref, *,
+                       in_hw: Tuple[int, int], fill: float):
     """Origin-anchored PIL shear ([1,s,0,0,1,0] / [1,0,0,s,1,0]) as two
     barrel-shift passes with 4-tap Keys cubic interpolation (the reference
     shears with Image.BICUBIC, `image_augmenter.py:73-94`); the inactive
     direction's coefficient is zero, which makes that pass an exact
-    identity (shift 0, frac 0, all taps in content → weights sum to 1)."""
+    identity (shift 0, frac 0, all taps in content → weights sum to 1).
+
+    One program per IMAGE: the cubic controls (barrel select masks, tap
+    validity masks, Keys weights, renormalizing denominator, boundary
+    masks) depend only on the image's shear coefficients, so they are
+    computed once and shared by the three channels — they are the
+    majority of the cubic pass's per-element work.
+    """
     in_h, in_w = in_hw
     ph, pw = a_ref.shape
     i = pl.program_id(0)
     sh_r = shr_ref[i]   # row-pass coefficient  (s when horizontal, else 0)
     sh_c = shc_ref[i]   # column-pass coefficient
 
-    a_ref[:] = jnp.full((ph, pw), fill, jnp.float32)
-    a_ref[0:in_h, 0:in_w] = img_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
-
     rows = jax.lax.broadcasted_iota(jnp.int32, (ph, 1), 0).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, pw), 1).astype(jnp.float32)
 
-    # PIL `transform` convention: coefficients apply at pixel centers
-    # (src = x + s·(y + 0.5)), and a position is in-bounds on the
-    # half-open band src ∈ [-0.5, size - 0.5) — shifting both coord and
-    # upper by +0.5 turns the sign-exact [0, upper] tests into that band.
-    g_r = sh_r * (rows + 0.5)               # src_x = x + s·(y + 0.5)
-    k_r = jnp.floor(g_r)
-    _, lo_r, hi_r = _scaled_positions(sh_r, rows + 0.5, cols + 0.5,
-                                      float(in_w))
-    b_ref[:] = _shift_pass(a_ref[:], k_r.astype(jnp.int32) % pw, g_r - k_r,
-                           1, lo_r, hi_r, fill, taps="cubic",
-                           tap_f0=cols + k_r, tap_upper=in_w - 1.0)
+    def controls(sh: Array, coord: Array, ortho: Array, size: int,
+                 dim: int, axis: int):
+        """Shared per-image controls for one cubic shear pass along `axis`
+        (coord: the iota the shift scales with; ortho: the orthogonal
+        iota; size: content extent along the pass)."""
+        g = sh * (coord + 0.5)
+        k = jnp.floor(g)
+        f = g - k
+        sh_mod = k.astype(jnp.int32) % dim
+        n_bits = max(1, math.ceil(math.log2(dim)))
+        bit_ons = [((sh_mod >> b) & 1) == 1
+                   for b in range(n_bits) if (1 << b) < dim]
+        # PIL `transform` convention: position in-bounds on the half-open
+        # band src ∈ [-0.5, size - 0.5); sign-exact tests (white fill is
+        # visible, unlike clamp)
+        _, lo_ok, hi_ok = _scaled_positions(sh, coord + 0.5, ortho + 0.5,
+                                            float(size))
+        valid = lo_ok & hi_ok
+        # 4-tap Keys weights with out-of-content taps dropped; tap
+        # positions tested at floor + offset against [0, size-1]
+        tap_f0 = ortho + k
+        weights = []
+        den = 0.0
+        for off, wt in ((-1.0, _cubic_w(1.0 + f)), (0.0, _cubic_w(f)),
+                        (1.0, _cubic_w(1.0 - f)), (2.0, _cubic_w(2.0 - f))):
+            ok = ((tap_f0 + off >= 0.0)
+                  & (tap_f0 + off <= size - 1.0)).astype(jnp.float32)
+            wok = wt * ok
+            weights.append(wok)
+            den = den + wok
+        den = jnp.where(jnp.abs(den) > 1e-6, den, 1.0)
+        return bit_ons, weights, den, valid
 
-    g_c = sh_c * (cols + 0.5)               # src_y = y + s·(x + 0.5)
-    k_c = jnp.floor(g_c)
-    _, lo_c, hi_c = _scaled_positions(sh_c, cols + 0.5, rows + 0.5,
-                                      float(in_h))
-    final = _shift_pass(b_ref[:], k_c.astype(jnp.int32) % ph, g_c - k_c,
-                        0, lo_c, hi_c, fill, taps="cubic",
-                        tap_f0=rows + k_c, tap_upper=in_h - 1.0)
-    out_ref[0, 0] = (jnp.clip(jnp.round(final), 0.0, 255.0)
-                     .astype(jnp.int32).astype(jnp.uint8))
+    def cubic_pass(src: Array, bit_ons, weights, den, valid, axis: int):
+        dim = src.shape[axis]
+        x = src
+        for b, bit_on in enumerate(bit_ons):
+            rolled = pltpu.roll(x, (-(1 << b)) % dim, axis)
+            x = jnp.where(bit_on, rolled, x)
+        prev = pltpu.roll(x, 1, axis)
+        nxt = pltpu.roll(x, (-1) % dim, axis)
+        nxt2 = pltpu.roll(x, (-2) % dim, axis)
+        num = (prev * weights[0] + x * weights[1]
+               + nxt * weights[2] + nxt2 * weights[3])
+        return jnp.where(valid, num / den, fill)
+
+    r_ctl = controls(sh_r, rows, cols, in_w, pw, 1)
+    c_ctl = controls(sh_c, cols, rows, in_h, ph, 0)
+
+    for c3 in range(3):
+        a_ref[:] = jnp.full((ph, pw), fill, jnp.float32)
+        a_ref[0:in_h, 0:in_w] = (img_ref[0, c3].astype(jnp.int32)
+                                 .astype(jnp.float32))
+        b_ref[:] = cubic_pass(a_ref[:], *r_ctl, 1)
+        final = cubic_pass(b_ref[:], *c_ctl, 0)
+        out_ref[0, c3] = (jnp.clip(jnp.round(final), 0.0, 255.0)
+                          .astype(jnp.int32).astype(jnp.uint8))
 
 
 @partial(jax.jit, static_argnames=("fill", "interpret"))
@@ -282,15 +322,15 @@ def shear_batch_pallas(imgs: Array, shears: Array, horizontal: Array,
     nchw = jnp.transpose(imgs, (0, 3, 1, 2))
 
     out = pl.pallas_call(
-        partial(_shear_kernel, in_hw=(h, w), fill=fill),
-        grid=(n, c),
+        partial(_shear_slab_kernel, in_hw=(h, w), fill=fill),
+        grid=(n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, ph, pw), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, c, ph, pw), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, c, ph, pw), jnp.uint8),
         scratch_shapes=[
@@ -512,21 +552,27 @@ def _train_aug_kernel(angle_ref, factor_ref, img_ref, out_ref, a_ref, b_ref,
     # `srcs/model/cnn.py:75-83`), clipped to [0, 1]
     mean = jnp.sum(final[0:h, 0:w]) / float(h * w)
     factor = factor_ref[i]
-    out_ref[0, 0] = jnp.clip(mean + (final - mean) * factor, 0.0, 1.0)
+    out_ref[0, 0] = (jnp.clip(mean + (final - mean) * factor, 0.0, 1.0)
+                     .astype(out_ref.dtype))
 
 
-@partial(jax.jit, static_argnames=("max_angle_deg", "interpret"))
+@partial(jax.jit, static_argnames=("max_angle_deg", "out_dtype",
+                                   "interpret"))
 def train_aug_rotate_contrast_pallas(imgs_u8: Array, angles_deg: Array,
                                      factors: Array,
                                      max_angle_deg: float = 18.0,
+                                     out_dtype=jnp.float32,
                                      interpret: bool = False) -> Array:
     """Fused rotate+contrast training augmentation: uint8 NHWC [B, h, w, 3]
     (flip already applied upstream, where it fuses with the batch gather) +
-    per-image angles/contrast factors → float32 NHWC in [0, 1].
+    per-image angles/contrast factors → `out_dtype` NHWC in [0, 1].
 
     The NCHW transposes move uint8 in (4x less traffic than the f32
     transpose of the unfused path); dequant, rotation, and contrast are one
-    VMEM-resident program per image-channel.
+    VMEM-resident program per image-channel. `out_dtype=jnp.bfloat16`
+    halves the augmented batch's HBM write + the following transpose's
+    read for bf16-compute models (which cast the batch anyway); rotation
+    math stays f32 in VMEM either way.
     """
     n, h, w, c = imgs_u8.shape
     ph = _pad_to(h, _SUBLANE)
@@ -547,7 +593,7 @@ def train_aug_rotate_contrast_pallas(imgs_u8: Array, angles_deg: Array,
         ],
         out_specs=pl.BlockSpec((1, 1, ph, pw), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, c, ph, pw), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, c, ph, pw), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((ph, pw), jnp.float32),
             pltpu.VMEM((ph, pw), jnp.float32),
@@ -556,6 +602,184 @@ def train_aug_rotate_contrast_pallas(imgs_u8: Array, angles_deg: Array,
     )(angles1d, factors1d, nchw)
 
     return jnp.transpose(out[:, :, :h, :w], (0, 2, 3, 1))
+
+
+def _train_aug_slab_kernel(angle_ref, factor_ref, img_ref, out_ref,
+                           a_ref, b_ref, *, hw: Tuple[int, int], planes: int,
+                           max_angle_deg: float):
+    """Multi-plane fused training augmentation: `planes` = G·3 image-channel
+    planes per program, processed by a static in-program loop — ONE pallas
+    launch for G whole images (vs one per image-channel in
+    `_train_aug_kernel`).
+
+    The kernel is VPU-compute-bound (measured: a 384-program grid and a
+    16-program slab run in the same time — launch overhead and DMA are
+    hidden by grid pipelining), so the wins here are per-element:
+
+    - the canvas can be bfloat16 (`a_ref.dtype`) — double vector
+      throughput and half the rolled bytes for the barrel passes; image
+      data in [0, 1] only carries ~8 significant bits to begin with;
+    - boundary tests are plain f32 compares, not the Dekker-split
+      sign-exact `_scaled_positions` — for CLAMP semantics a 1-ulp
+      misclassification at the content edge picks an adjacent sample
+      (invisible for stochastic train augmentation), unlike the white-fill
+      kernels where it flips a visible fill pixel.
+
+    Per-plane pass math is otherwise identical to `_train_aug_kernel`
+    (barrel shifts with per-ROW/per-COLUMN counts — a barrel shift is
+    only valid when the count is constant along the roll axis, so planes
+    are processed one at a time on a shared scratch canvas rather than
+    stacked into one canvas).
+    """
+    h, w = hw
+    ph, pw = a_ref.shape
+    dt = a_ref.dtype
+    i = pl.program_id(0)
+
+    max_t = math.tan(math.radians(max_angle_deg) / 2.0)
+    max_s = math.sin(math.radians(max_angle_deg))
+    row_bound = int(math.ceil(max_t * (h - 1) / 2.0)) + 1
+    col_bound = int(math.ceil(max_s * (w - 1) / 2.0)) + 1
+
+    cy = (h - 1) / 2.0
+    cx = (w - 1) / 2.0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ph, 1), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, pw), 1).astype(jnp.float32)
+
+    def controls(g: Array, coord: Array, upper: float, max_shift: int,
+                 dim: int):
+        """Barrel/lerp/validity control tensors for one shear pass:
+        bias + per-bit select masks (bias trick), lerp fraction, and the
+        plain-f32 bounds masks (clamp semantics tolerate 1-ulp boundary
+        flips, unlike white fill)."""
+        k = jnp.floor(g)
+        sh = jnp.clip(k.astype(jnp.int32), -max_shift, max_shift)
+        bias = 1 << max(0, max_shift.bit_length())
+        sh = sh + bias
+        n_bits = (bias + max_shift).bit_length()
+        bit_ons = [((sh >> b) & 1) == 1
+                   for b in range(n_bits) if (1 << b) < dim]
+        pos = coord + g
+        return bias, bit_ons, g - k, pos >= 0.0, pos <= upper
+
+    def shear(src: Array, bias: int, bit_ons, frac: Array, axis: int,
+              lo_ok: Array, hi_ok: Array, cdim: int) -> Array:
+        """One pass over the canvas from precomputed controls (shared by
+        all 3 channels of an image; row controls also by passes 1 and 3)."""
+        dim = src.shape[axis]
+        edge_low = src[0:1, :] if axis == 0 else src[:, 0:1]
+        edge_high = (src[cdim - 1:cdim, :] if axis == 0
+                     else src[:, cdim - 1:cdim])
+        x = pltpu.roll(src, bias, axis)           # out[i] = x[i - bias]
+        for b, bit_on in enumerate(bit_ons):
+            rolled = pltpu.roll(x, (-(1 << b)) % dim, axis)
+            x = jnp.where(bit_on, rolled, x)
+        f = frac.astype(x.dtype)
+        nxt = pltpu.roll(x, (-1) % dim, axis)
+        out = x + f * (nxt - x)
+        return jnp.where(lo_ok, jnp.where(hi_ok, out, edge_high), edge_low)
+
+    for g_img in range(planes // 3):
+        img_idx = i * (planes // 3) + g_img
+        theta = angle_ref[img_idx] * (math.pi / 180.0)
+        t = -jnp.tan(theta / 2.0)
+        s = jnp.sin(theta)
+        factor = factor_ref[img_idx]
+
+        # per-IMAGE controls: passes 1 and 3 are the same row shear, and
+        # the three channels share everything
+        r_ctl = controls(t * (rows - cy), cols, w - 1.0, row_bound, pw)
+        c_ctl = controls(s * (cols - cx), rows, h - 1.0, col_bound, ph)
+
+        for c3 in range(3):
+            p = g_img * 3 + c3
+            a_ref[:] = jnp.zeros((ph, pw), dt)
+            a_ref[0:h, 0:w] = (img_ref[0, p].astype(jnp.int32)
+                               .astype(jnp.float32) / 255.0).astype(dt)
+
+            b_ref[:] = shear(a_ref[:], r_ctl[0], r_ctl[1], r_ctl[2], 1,
+                             r_ctl[3], r_ctl[4], w)
+            a_ref[:] = shear(b_ref[:], c_ctl[0], c_ctl[1], c_ctl[2], 0,
+                             c_ctl[3], c_ctl[4], h)
+            final = shear(a_ref[:], r_ctl[0], r_ctl[1], r_ctl[2], 1,
+                          r_ctl[3], r_ctl[4], w)
+
+            # contrast mean accumulates in f32 even on a bf16 canvas
+            mean = (jnp.sum(final[0:h, 0:w].astype(jnp.float32))
+                    / float(h * w))
+            out_ref[0, p] = (jnp.clip(mean.astype(dt)
+                                      + (final - mean.astype(dt))
+                                      * factor.astype(dt),
+                                      0.0, 1.0)
+                             .astype(out_ref.dtype))
+
+
+@partial(jax.jit, static_argnames=("max_angle_deg", "out_dtype",
+                                   "canvas_dtype", "interpret"))
+def train_aug_fused_pallas(imgs_u8: Array, angles_deg: Array, factors: Array,
+                           max_angle_deg: float = 18.0,
+                           out_dtype=jnp.float32,
+                           canvas_dtype=jnp.float32,
+                           interpret: bool = False) -> Array:
+    """Fused rotate+contrast training augmentation, multi-image programs:
+    uint8 NHWC [B, h, w, 3] (flip already applied upstream) + per-image
+    angles/contrast factors → `out_dtype` NHWC in [0, 1].
+
+    Groups up to 8 images (24 planes) per pallas program — see
+    `_train_aug_slab_kernel`. With the f32 canvas, math is identical to
+    `train_aug_rotate_contrast_pallas` / the einsum
+    `ops/train_augment.train_augment` to f32 rounding; golden-tested
+    against both. `canvas_dtype=jnp.bfloat16` runs the VPU-bound barrel
+    passes at double vector throughput (image data carries ~8 significant
+    bits, so bf16's 8-bit mantissa costs ≲0.4% — fine for stochastic
+    train augmentation); `out_dtype=jnp.bfloat16` halves the output HBM
+    traffic for steps whose model computes in bf16 anyway.
+    """
+    n, h, w, c = imgs_u8.shape
+    assert c == 3
+    # G bounded by the ~16 MB scoped-VMEM limit: at G=8/f32/224² the
+    # blocks measure 13.8 MB double-buffered — fine standalone, but
+    # inside the full train-step program the shared scoped-VMEM budget
+    # forces single-buffered DMA and the step regresses ~6-7 ms (G=4
+    # too). Standalone callers (e.g. the balancer's fused handoff) are
+    # the intended users; train steps use the per-plane
+    # `train_aug_rotate_contrast_pallas`, whose (1, 1, h, w) blocks
+    # pipeline cleanly inside any surrounding program.
+    G = 1
+    for cand in (4, 2):
+        if n % cand == 0:
+            G = cand
+            break
+    planes = G * 3
+    ph = _pad_to(h, _SUBLANE)
+    pw = _pad_to(w, _LANE)
+
+    nchw = jnp.transpose(imgs_u8, (0, 3, 1, 2)).reshape(n // G, planes, h, w)
+    angles1d = angles_deg.astype(jnp.float32).reshape(n)
+    factors1d = factors.astype(jnp.float32).reshape(n)
+
+    out = pl.pallas_call(
+        partial(_train_aug_slab_kernel, hw=(h, w), planes=planes,
+                max_angle_deg=max_angle_deg),
+        grid=(n // G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, planes, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, planes, ph, pw), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n // G, planes, ph, pw), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ph, pw), canvas_dtype),
+            pltpu.VMEM((ph, pw), canvas_dtype),
+        ],
+        interpret=interpret,
+    )(angles1d, factors1d, nchw)
+
+    out = out.reshape(n, 3, ph, pw)[:, :, :h, :w]
+    return jnp.transpose(out, (0, 2, 3, 1))
 
 
 @partial(jax.jit, static_argnames=("interpret",))

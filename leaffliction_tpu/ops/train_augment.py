@@ -70,14 +70,17 @@ def train_augment(
                     0.0, 1.0)
 
 
-@partial(jax.jit, static_argnames=("rotation_frac", "contrast_delta"))
+@partial(jax.jit, static_argnames=("rotation_frac", "contrast_delta",
+                                   "out_dtype"))
 def train_augment_u8(
     key: Array,
     batch_u8: Array,
     rotation_frac: float = 0.05,
     contrast_delta: float = 0.1,
+    out_dtype=jnp.float32,
 ) -> Array:
-    """Uint8-in variant of `train_augment`: N×H×W×C uint8 → float32 [0, 1].
+    """Uint8-in variant of `train_augment`: N×H×W×C uint8 → `out_dtype`
+    in [0, 1].
 
     On TPU the flip runs on the uint8 batch (where XLA fuses it with the
     batch gather) and dequant+rotate+contrast run in ONE fused Pallas
@@ -85,7 +88,12 @@ def train_augment_u8(
     separate dequant pass, f32 NCHW transposes, and mean/apply contrast
     passes cost ~2.9 ms per 128×224² batch inside every train step; the
     fused path ~1.3 ms. Identical parameter stream (same key splits) and
-    math as `train_augment`, to f32 rounding.
+    math as `train_augment`, to f32 rounding. Pass
+    `out_dtype=jnp.bfloat16` for bf16-compute models: halves the
+    augmented batch's HBM write+read, and the model casts to bf16 anyway.
+    (The multi-image slab variant `train_aug_fused_pallas` is NOT used
+    here: its larger scoped-VMEM blocks lose double-buffered DMA inside
+    the full train-step program and regress the step ~6 ms at G=4-8.)
     """
     if jax.default_backend() == "tpu" and batch_u8.shape[1] % 8 == 0:
         keys = jax.random.split(key, batch_u8.shape[0])
@@ -99,6 +107,7 @@ def train_augment_u8(
 
         return train_aug_rotate_contrast_pallas(
             flipped, angles, factors,
-            max_angle_deg=rotation_frac * 360.0)
+            max_angle_deg=rotation_frac * 360.0,
+            out_dtype=out_dtype)
     return train_augment(key, batch_u8.astype(jnp.float32) / 255.0,
-                         rotation_frac, contrast_delta)
+                         rotation_frac, contrast_delta).astype(out_dtype)

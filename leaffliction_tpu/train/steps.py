@@ -154,8 +154,12 @@ def build_step_fns(
         if augment:
             k_aug, k_drop = jax.random.split(jax.random.fold_in(key, 0))
             # u8-in fused path: flip on uint8 (fuses with the batch
-            # gather), dequant+rotate+contrast in one Pallas program
-            x = train_augment_u8(k_aug, images)
+            # gather), dequant+rotate+contrast in multi-image Pallas
+            # programs; bf16 out for bf16-compute models halves the
+            # augmented batch's HBM traffic
+            x = train_augment_u8(k_aug, images,
+                                 out_dtype=getattr(model, "dtype",
+                                                   jnp.float32))
         else:
             x = images.astype(jnp.float32) / 255.0
             k_drop = key

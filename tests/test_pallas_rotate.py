@@ -131,6 +131,45 @@ def test_fused_train_aug_kernel_matches_composition(hw):
     np.testing.assert_allclose(got[1], np.asarray(x[1]), atol=1e-6)
 
 
+@pytest.mark.parametrize("n", [8, 5])
+def test_slab_train_aug_kernel_matches_per_plane(n):
+    """The multi-image slab kernel (`train_aug_fused_pallas`) == the
+    per-(image, channel) kernel to f32 rounding, for G>1 and the G=1
+    odd-batch fallback; bf16 output within bf16 quantization."""
+    from leaffliction_tpu.ops.pallas.rotate import (
+        train_aug_fused_pallas,
+        train_aug_rotate_contrast_pallas,
+    )
+
+    h = w = 32
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 256, (n, h, w, 3), np.uint8)
+    angles = rng.uniform(-18, 18, n).astype(np.float32)
+    factors = rng.uniform(0.9, 1.1, n).astype(np.float32)
+
+    ref = np.asarray(train_aug_rotate_contrast_pallas(
+        jnp.asarray(imgs), jnp.asarray(angles), jnp.asarray(factors),
+        max_angle_deg=18.0, interpret=True))
+    got = np.asarray(train_aug_fused_pallas(
+        jnp.asarray(imgs), jnp.asarray(angles), jnp.asarray(factors),
+        max_angle_deg=18.0, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    got16 = np.asarray(train_aug_fused_pallas(
+        jnp.asarray(imgs), jnp.asarray(angles), jnp.asarray(factors),
+        max_angle_deg=18.0, out_dtype=jnp.bfloat16,
+        interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got16, ref, atol=4e-3)
+
+    # per-plane kernel's bf16 output (the train-step wiring) quantizes
+    # the same f32 result
+    pp16 = np.asarray(train_aug_rotate_contrast_pallas(
+        jnp.asarray(imgs), jnp.asarray(angles), jnp.asarray(factors),
+        max_angle_deg=18.0, out_dtype=jnp.bfloat16,
+        interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(pp16, ref, atol=4e-3)
+
+
 def test_train_augment_u8_fallback_matches_f32_path():
     """On non-TPU backends `train_augment_u8` must reproduce
     `train_augment` on the dequantized batch exactly (same key stream)."""
