@@ -616,9 +616,13 @@ def _train_aug_slab_kernel(angle_ref, factor_ref, img_ref, out_ref,
     16-program slab run in the same time — launch overhead and DMA are
     hidden by grid pipelining), so the wins here are per-element:
 
-    - the canvas can be bfloat16 (`a_ref.dtype`) — double vector
-      throughput and half the rolled bytes for the barrel passes; image
-      data in [0, 1] only carries ~8 significant bits to begin with;
+    - the canvas dtype follows `a_ref.dtype`. NOTE: bfloat16 canvases
+      are numerically fine (image data in [0, 1] carries ~8 significant
+      bits) and pass interpret-mode tests, but the current Mosaic TPU
+      compiler REJECTS them — `pltpu.roll` lowers to tpu.rotate, which
+      is "not implemented ... with non-32-bit data" (verified on v5e,
+      2026-08). Keep f32 canvases on hardware until Mosaic grows 16-bit
+      rotate support;
     - boundary tests are plain f32 compares, not the Dekker-split
       sign-exact `_scaled_positions` — for CLAMP semantics a 1-ulp
       misclassification at the content edge picks an adjacent sample
@@ -729,10 +733,11 @@ def train_aug_fused_pallas(imgs_u8: Array, angles_deg: Array, factors: Array,
     `_train_aug_slab_kernel`. With the f32 canvas, math is identical to
     `train_aug_rotate_contrast_pallas` / the einsum
     `ops/train_augment.train_augment` to f32 rounding; golden-tested
-    against both. `canvas_dtype=jnp.bfloat16` runs the VPU-bound barrel
-    passes at double vector throughput (image data carries ~8 significant
-    bits, so bf16's 8-bit mantissa costs ≲0.4% — fine for stochastic
-    train augmentation); `out_dtype=jnp.bfloat16` halves the output HBM
+    against both. `canvas_dtype=jnp.bfloat16` would run the VPU-bound
+    barrel passes at double vector throughput, but the current Mosaic
+    compiler rejects non-32-bit `pltpu.roll` on hardware (see
+    `_train_aug_slab_kernel` docstring) — interpret-mode only for now.
+    `out_dtype=jnp.bfloat16` works on hardware and halves the output HBM
     traffic for steps whose model computes in bf16 anyway.
     """
     n, h, w, c = imgs_u8.shape
