@@ -299,7 +299,6 @@ def main(argv=None) -> None:
         fused_dd = jax.device_put(fused_dd, replicated(mesh))
 
     total_steps = train_iter.steps_per_epoch() * args.epochs
-    step_fns = build_step_fns(model, cfg, num_classes, total_steps, mesh)
     state = create_train_state(model, cfg, args.img_size, args.seed)
 
     # adaptive normalization on ≤2048 train samples (`srcs/model/cnn.py:107-131`)
@@ -311,6 +310,23 @@ def main(argv=None) -> None:
         mean, var = compute_norm_stats(sample)
         state = state.replace(norm_stats={"mean": mean, "var": var})
         LOGGER.info("Adapted normalization: mean=%s", np.asarray(mean))
+
+    # tensor parallelism: with a model axis, channel-shard the state over
+    # it (conv/dense out-features + matching stats/moments); computed from
+    # the FINAL state tree (norm_stats above changed its structure)
+    state_sh = None
+    if mesh.size > 1 and mesh.shape.get("model", 1) > 1:
+        from leaffliction_tpu.parallel.mesh import tp_shardings
+
+        state_sh = tp_shardings(state, mesh)
+        state = jax.device_put(state, state_sh)
+        n_sharded = sum(
+            int(s.spec != jax.sharding.PartitionSpec())
+            for s in jax.tree_util.tree_leaves(state_sh))
+        LOGGER.info("Tensor parallelism: %d state leaves sharded over "
+                    "model=%d", n_sharded, mesh.shape["model"])
+    step_fns = build_step_fns(model, cfg, num_classes, total_steps, mesh,
+                              state_shardings=state_sh)
 
     preset = SCALE_PRESETS[args.scale]
     meta = {

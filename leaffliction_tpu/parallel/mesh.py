@@ -63,6 +63,40 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def tp_shardings(tree, mesh: Mesh, min_size: int = 64):
+    """Per-leaf NamedShardings implementing tensor parallelism over the
+    `model` axis, by shape: any leaf whose LAST dim divides by the axis
+    size and is at least `min_size` shards that dim; everything else
+    replicates. The last dim is the out-channel dim across the whole
+    state — conv kernels (HWIO) and dense kernels (IO) shard their
+    output features, and BN scale/bias/stats, biases, and the optimizer
+    moments (shaped like their params) shard the SAME channels, so every
+    channel-c tensor lands on the same submesh and XLA's SPMD partitioner
+    keeps the layer-local math communication-free (collectives appear
+    only where channels mix: the depthwise/1x1 boundaries and the final
+    logits). `min_size` keeps tiny tensors (class-head bias, 3-channel
+    norm stats) replicated — sharding them buys nothing and costs
+    per-shard padding.
+
+    Shape-driven on purpose: it covers params, EMA copies, and optax
+    moment trees without knowing their pytree structure. With `model=1`
+    (or on a 1-device mesh) every leaf replicates, so it is always safe
+    to apply. The reference has no model parallelism at all; this is the
+    TPU-native scale-out story for backbones too wide for one chip's
+    HBM."""
+    tp = mesh.shape[MODEL_AXIS]
+
+    def spec(x):
+        shape = getattr(x, "shape", ())
+        if (tp > 1 and len(shape) >= 1 and shape[-1] >= min_size
+                and shape[-1] % tp == 0):
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1)), MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
 def shard_batch(mesh: Mesh, tree):
     """Device_put a host batch pytree with the batch axis sharded on `data`."""
 

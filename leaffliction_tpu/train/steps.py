@@ -8,9 +8,12 @@ per-batch host-side `get_weights()` copy (`srcs/train/utils.py:38-57` — its
 worst hot-loop pathology) is here one fused tree-multiply inside the step.
 
 Sharding: steps are `jax.jit`-compiled with NamedShardings over a Mesh —
-batch sharded on the `data` axis, state replicated. XLA inserts the gradient
-all-reduce (and global BatchNorm statistics) automatically from the sharding
-annotations; the same code runs single-chip or on a v5e-8 slice.
+batch sharded on the `data` axis; state either replicated (data
+parallelism) or channel-sharded over the `model` axis (tensor
+parallelism, `parallel.mesh.tp_shardings` via `state_shardings`). XLA
+inserts the gradient all-reduce, global BatchNorm statistics, and the
+TP boundary collectives automatically from the sharding annotations;
+the same code runs single-chip or on a v5e-8 slice.
 """
 
 from __future__ import annotations
@@ -145,7 +148,15 @@ def build_step_fns(
     total_steps: int,
     mesh: Mesh,
     augment: bool = True,
+    state_shardings: Any = None,
 ) -> StepFns:
+    """Build the jitted step functions for `mesh`.
+
+    `state_shardings`: optional TrainState-shaped pytree of NamedShardings
+    (see `parallel.mesh.tp_shardings`) pinning the model/optimizer state
+    layout — tensor parallelism over the `model` axis. None replicates
+    the state (pure data parallelism). Ignored on single-device meshes,
+    which take the plain-jit fast path."""
     schedule = make_lr_schedule(cfg, total_steps)
     tx = make_optimizer(cfg)
 
@@ -327,45 +338,49 @@ def build_step_fns(
     data1 = NamedSharding(mesh, P("data"))
     chain4 = NamedSharding(mesh, P(None, "data", None, None, None))
     chain1 = NamedSharding(mesh, P(None, "data"))
+    # state layout: replicated (DP) or per-leaf channel-sharded over the
+    # `model` axis (TP, `tp_shardings`); the same tree pins inputs AND
+    # outputs so the donated state buffers keep their layout step-to-step
+    st = state_shardings if state_shardings is not None else repl
 
     train_jit = jax.jit(
         train_step,
-        in_shardings=(repl, data4, data1, data1, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st, data4, data1, data1, repl),
+        out_shardings=(st, repl),
         donate_argnums=(0,),
     )
     chain_jit = jax.jit(
         train_step_chain,
-        in_shardings=(repl, chain4, chain1, chain1, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st, chain4, chain1, chain1, repl),
+        out_shardings=(st, repl),
         donate_argnums=(0,),
     )
     # gather path on a mesh: dataset replicated per device, selection
     # indices sharded over `data` → each device gathers only its rows
     gather_jit = jax.jit(
         train_step_gather,
-        in_shardings=(repl, repl, repl, chain1, chain1, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st, repl, repl, chain1, chain1, repl),
+        out_shardings=(st, repl),
         donate_argnums=(0,),
     )
     eval_gather_jit = jax.jit(
         eval_step_gather,
-        in_shardings=(repl, repl, repl, data1, data1),
+        in_shardings=(st, repl, repl, data1, data1),
         out_shardings=(repl, data1),
     )
     eval_ema_gather_jit = jax.jit(
         eval_step_ema_gather,
-        in_shardings=(repl, repl, repl, data1, data1),
+        in_shardings=(st, repl, repl, data1, data1),
         out_shardings=(repl, data1),
     )
     eval_jit = jax.jit(
         eval_step,
-        in_shardings=(repl, data4, data1, data1),
+        in_shardings=(st, data4, data1, data1),
         out_shardings=(repl, data1),
     )
     eval_ema_jit = jax.jit(
         eval_step_ema,
-        in_shardings=(repl, data4, data1, data1),
+        in_shardings=(st, data4, data1, data1),
         out_shardings=(repl, data1),
     )
     # Whole-val-set chained eval on the mesh: the dataset is replicated,
@@ -376,12 +391,12 @@ def build_step_fns(
     # per-epoch on exactly the configuration the north star targets.
     eval_chain_jit = jax.jit(
         eval_chain_gather,
-        in_shardings=(repl, repl, repl, chain1, chain1),
+        in_shardings=(st, repl, repl, chain1, chain1),
         out_shardings=(repl, chain1),
     )
     eval_chain_ema_jit = jax.jit(
         eval_chain_ema_gather,
-        in_shardings=(repl, repl, repl, chain1, chain1),
+        in_shardings=(st, repl, repl, chain1, chain1),
         out_shardings=(repl, chain1),
     )
     return StepFns(train_step=train_jit, train_step_chain=chain_jit,
