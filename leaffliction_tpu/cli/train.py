@@ -226,7 +226,12 @@ def main(argv=None) -> None:
             (jnp.take(all_imgs, jnp.asarray(val_rows), axis=0),
              jnp.take(labels_dev, jnp.asarray(val_rows), axis=0)),
         )
-        del all_imgs  # let XLA release the combined buffer
+        # Release the combined buffer(s): `del all_imgs` alone is not
+        # enough — res.device_images still references the pre-transform
+        # array, which would pin ~2-3x the dataset in HBM for the whole
+        # run (train+val slices above are the only copies training needs).
+        del all_imgs
+        res.device_images = None
         train_store = DeviceImageStore(res.labels[train_rows], args.img_size)
         val_store = DeviceImageStore(res.labels[val_rows], args.img_size)
         train_items = [res.items[i] for i in train_rows]

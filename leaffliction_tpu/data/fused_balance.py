@@ -180,8 +180,13 @@ def _augment_on_device(orig_dev, tasks: List[FusedTask], seed: int,
 
     resize_rotated_jit = jax.jit(resize_rotated)
 
-    # group tasks by transform, preserving task order within each group
-    order: List[Tuple[int, object]] = []   # (global position, device chunk)
+    # group tasks by transform, remembering each task's global position —
+    # tasks are CLASS-major (`build_fused_tasks`), so one transform's group
+    # (and even one chunk) mixes positions from several classes whenever
+    # more than one class is deficient; the emitted rows are mapped back to
+    # task order with one device gather at the end
+    chunks: List[object] = []              # device chunks, emission order
+    emit_pos: List[int] = []               # global task position per row
     by_transform: Dict[str, List[Tuple[int, FusedTask]]] = {}
     for pos, t in enumerate(tasks):
         by_transform.setdefault(t.transform, []).append((pos, t))
@@ -209,13 +214,16 @@ def _augment_on_device(orig_dev, tasks: List[FusedTask], seed: int,
                 out = resize_rotated_jit(canvas, angles)
             else:
                 out = kernel(keys, imgs)
-            order.append((chunk[0][0], out[:used] if used < device_batch
-                          else out))
+            chunks.append(out[:used] if used < device_batch else out)
+            emit_pos.extend(pos for pos, _ in chunk)
 
-    order.sort(key=lambda x: x[0])
-    if not order:
+    if not chunks:
         return jnp.zeros((0, img_size, img_size, 3), jnp.uint8)
-    return jnp.concatenate([c for _, c in order], axis=0)
+    emitted = jnp.concatenate(chunks, axis=0)
+    # inv[p] = emitted row holding task p → out[p] = emitted[inv[p]]
+    inv = np.empty((len(tasks),), np.int32)
+    inv[np.asarray(emit_pos, np.int32)] = np.arange(len(tasks), dtype=np.int32)
+    return gather(emitted, jnp.asarray(inv))
 
 
 def balance_to_device(
@@ -251,24 +259,18 @@ def balance_to_device(
     LOGGER.info("Fused balancing: %d originals, %d augmentations planned",
                 len(items), n_gen_planned)
 
-    # decode all originals once at img_size (threaded; JPEG codecs drop GIL)
-    from leaffliction_tpu.data.loader import default_decode_fn
+    # decode all originals once at img_size: one batched C++ call (own
+    # thread pool, one GIL release) with threaded per-image PIL fallback —
+    # the same shared sequence the training loader and predictor use
+    from leaffliction_tpu.data.native import decode_batch_with_fallback
 
-    decode = default_decode_fn()
-    orig = np.zeros((len(items), img_size, img_size, 3), np.uint8)
-    valid = np.zeros((len(items),), bool)
-
-    def _load(i: int) -> None:
-        try:
-            orig[i] = decode(items[i].src, img_size)
-            valid[i] = True
-        except Exception as exc:
-            LOGGER.warning("Skipping unreadable image %s (%s)",
-                           items[i].src, exc)
-
-    with cf.ThreadPoolExecutor(max_workers=decode_workers) as pool:
-        list(pool.map(_load, range(len(items))))
+    orig, valid = decode_batch_with_fallback(
+        [it.src for it in items], img_size, workers=decode_workers)
     keep = np.nonzero(valid)[0]
+    if len(keep) == 0:
+        raise ValueError(
+            f"No decodable images under {source_dir} "
+            f"({len(items)} files all failed to decode)")
     if len(keep) < len(items):
         items = [items[i] for i in keep]
         orig = orig[keep]

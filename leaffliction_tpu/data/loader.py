@@ -92,56 +92,40 @@ class ImageStore:
             [label2idx[it.label] for it in self.items], np.int32
         )
         n = len(self.items)
-        self.valid = np.zeros((n,), bool)
 
-        # One ctypes call decodes the whole dataset on the C++ library's
-        # own thread pool (GIL released for the batch) when the caller
-        # didn't pin a specific decoder; per-failure PIL fallback below.
-        batch_done = False
-        if decode_fn is None and n > 1:
-            arrs = self._try_native_batch([it.src for it in self.items])
-            if arrs is not None:
-                self.images, self.valid = arrs
-                batch_done = True
-        if not batch_done:
-            self.images = np.zeros((n, img_size, img_size, 3), np.uint8)
-        decode_fn = decode_fn or (decode_resize_pil if batch_done
-                                  else default_decode_fn())
+        if decode_fn is None:
+            # The shared decode sequence (also the predictor's and fused
+            # balancer's): one batched C++ call on the library's own
+            # thread pool (GIL released for the batch), threaded PIL
+            # fallback per failure.
+            from leaffliction_tpu.data.native import (
+                decode_batch_with_fallback,
+            )
 
-        def _load(i: int) -> None:
-            try:
-                self.images[i] = decode_fn(self.items[i].src, img_size)
-                self.valid[i] = True
-            except Exception as exc:  # skip unreadable, like predictor.py:102
-                LOGGER.warning("Skipping unreadable image %s (%s)",
-                               self.items[i].src, exc)
-
-        todo = (np.nonzero(~self.valid)[0].tolist() if batch_done
-                else list(range(n)))
-        if workers > 1 and len(todo) > 1:
-            with cf.ThreadPoolExecutor(max_workers=workers) as pool:
-                list(pool.map(_load, todo))
+            self.images, self.valid = decode_batch_with_fallback(
+                [it.src for it in self.items], img_size,
+                workers=max(workers, 2))
         else:
-            for i in todo:
-                _load(i)
+            self.valid = np.zeros((n,), bool)
+            self.images = np.zeros((n, img_size, img_size, 3), np.uint8)
+
+            def _load(i: int) -> None:
+                try:
+                    self.images[i] = decode_fn(self.items[i].src, img_size)
+                    self.valid[i] = True
+                except Exception as exc:  # skip unreadable images
+                    LOGGER.warning("Skipping unreadable image %s (%s)",
+                                   self.items[i].src, exc)
+
+            if workers > 1 and n > 1:
+                with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+                    list(pool.map(_load, range(n)))
+            else:
+                for i in range(n):
+                    _load(i)
         n_bad = int(n - self.valid.sum())
         if n_bad:
             LOGGER.warning("%d/%d images failed to decode", n_bad, n)
-
-    def _try_native_batch(self, paths):
-        """→ (images, ok) via the batched C++ decoder, or None."""
-        import os
-
-        if os.environ.get("LEAF_NATIVE_DECODE", "1") == "0":
-            return None
-        try:
-            from leaffliction_tpu.data import native
-
-            if not native.native_available():
-                return None
-            return native.decode_batch_resize(paths, self.img_size)
-        except Exception:  # pragma: no cover - toolchain missing
-            return None
 
     def __len__(self) -> int:
         return len(self.items)

@@ -142,6 +142,53 @@ def decode_batch_resize(paths, img_size: int,
     return out, status == 0
 
 
+def decode_batch_with_fallback(paths, img_size: int, workers: int = 8,
+                               log_failures: bool = True) -> tuple:
+    """→ (uint8 [n, S, S, 3], ok bool [n]): the ONE decode sequence every
+    batch consumer shares (training loader, serving predictor, fused
+    balancer) — LEAF_NATIVE_DECODE env gate → batched C++ decode (its own
+    thread pool, one GIL release) → threaded per-image PIL fallback for
+    the failures (non-JPEG inputs, or the native library missing
+    entirely). Failed-in-both entries come back ok=False with zeroed
+    pixels; callers decide whether to skip or error."""
+    import concurrent.futures as cf
+    import os
+
+    n = len(paths)
+    arrs = None
+    if os.environ.get("LEAF_NATIVE_DECODE", "1") != "0":
+        try:
+            if native_available():
+                arrs, ok = decode_batch_resize(paths, img_size)
+        except Exception:  # pragma: no cover - toolchain missing
+            arrs = None
+    if arrs is None:
+        arrs = np.zeros((n, img_size, img_size, 3), np.uint8)
+        ok = np.zeros((n,), bool)
+
+    from leaffliction_tpu.data.loader import decode_resize_pil
+
+    def _load(i: int) -> None:
+        try:
+            arrs[i] = decode_resize_pil(str(paths[i]), img_size)
+            ok[i] = True
+        except Exception as exc:
+            if log_failures:
+                from leaffliction_tpu.core.logging import get_logger
+
+                get_logger(__name__).warning(
+                    "Skipping unreadable image %s (%s)", paths[i], exc)
+
+    todo = np.nonzero(~ok)[0].tolist()
+    if workers > 1 and len(todo) > 1:
+        with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(_load, todo))
+    else:
+        for i in todo:
+            _load(i)
+    return arrs, ok
+
+
 def decode_resize_native(path: str, img_size: int) -> np.ndarray:
     """Loader-compatible decode_fn (same signature as decode_resize_pil).
 

@@ -97,9 +97,6 @@ def _cubic_w(d: Array) -> Array:
 def _shift_pass(x: Array, shift_per: Array, frac_per: Array, axis: int,
                 low_ok: Array, high_ok: Array, fill: float | None,
                 content_dim: int | None = None,
-                taps: str = "linear",
-                tap_f0: Array | None = None,
-                tap_upper: float | None = None,
                 max_shift: int | None = None) -> Array:
     """One shear pass over a VMEM-resident canvas.
 
@@ -110,13 +107,9 @@ def _shift_pass(x: Array, shift_per: Array, frac_per: Array, axis: int,
     canvas bound. `fill=None` selects edge-clamp semantics (out-of-range
     sources take the nearest canvas edge sample — matching the einsum
     path's clipped-position resample); a float fills out-of-range outputs
-    with that constant. `taps="cubic"` interpolates with the 4-tap Keys
-    kernel (PIL BICUBIC) instead of the 2-tap triangle — two extra rolls
-    + FMAs per pass, still VMEM-resident. Cubic taps falling outside the
-    content ([0, tap_upper], tested at floor position `tap_f0` + offset)
-    are dropped and the remaining weights renormalized — the same
-    edge handling as the einsum path's `_weights`, approximating PIL's
-    sample-coordinate clamping.
+    with that constant. (Cubic interpolation lives in
+    `_shear_slab_kernel`, whose per-image control sharing needs the taps
+    split out of the pass anyway.)
     """
     dim = x.shape[axis]
     if fill is None:
@@ -147,26 +140,8 @@ def _shift_pass(x: Array, shift_per: Array, frac_per: Array, axis: int,
         x = jnp.where(bit_on, rolled, x)
     f = frac_per.astype(x.dtype)   # keep bf16 canvases in bf16 through lerp
     nxt = pltpu.roll(x, (-1) % dim, axis)
-    if taps == "cubic":
-        # source = k + f; taps at k-1, k, k+1, k+2 with Keys weights
-        prev = pltpu.roll(x, 1, axis)
-        nxt2 = pltpu.roll(x, (-2) % dim, axis)
-        num = 0.0
-        den = 0.0
-        for v, off, wt in (
-            (prev, -1.0, _cubic_w(1.0 + f)),
-            (x, 0.0, _cubic_w(f)),
-            (nxt, 1.0, _cubic_w(1.0 - f)),
-            (nxt2, 2.0, _cubic_w(2.0 - f)),
-        ):
-            ok = ((tap_f0 + off >= 0.0)
-                  & (tap_f0 + off <= tap_upper)).astype(jnp.float32)
-            num = num + v * (wt * ok)
-            den = den + wt * ok
-        out = num / jnp.where(jnp.abs(den) > 1e-6, den, 1.0)
-    else:
-        # 2-tap triangle (bilinear) lerp: in[k] * (1-f) + in[k+1] * f
-        out = x * (1.0 - f) + nxt * f
+    # 2-tap triangle (bilinear) lerp: in[k] * (1-f) + in[k+1] * f
+    out = x * (1.0 - f) + nxt * f
     if fill is None:
         return jnp.where(low_ok, jnp.where(high_ok, out, edge_high),
                          edge_low)
@@ -729,8 +704,9 @@ def train_aug_fused_pallas(imgs_u8: Array, angles_deg: Array, factors: Array,
     uint8 NHWC [B, h, w, 3] (flip already applied upstream) + per-image
     angles/contrast factors → `out_dtype` NHWC in [0, 1].
 
-    Groups up to 8 images (24 planes) per pallas program — see
-    `_train_aug_slab_kernel`. With the f32 canvas, math is identical to
+    Groups up to 4 images (12 planes) per pallas program — see
+    `_train_aug_slab_kernel` and the G-selection comment below. With the
+    f32 canvas, math is identical to
     `train_aug_rotate_contrast_pallas` / the einsum
     `ops/train_augment.train_augment` to f32 rounding; golden-tested
     against both. `canvas_dtype=jnp.bfloat16` would run the VPU-bound

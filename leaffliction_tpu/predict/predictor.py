@@ -85,32 +85,13 @@ class Predictor:
 
     @staticmethod
     def _decode_chunk(paths: List[Path], size: int):
-        """→ (uint8 [n,S,S,3], ok [n]) for one serving chunk. One batched
-        C++ call (its own threads, one GIL release) when the native decoder
-        is built; per-image fallback otherwise — failures fall back to PIL
-        per image (non-JPEG inputs), then report ok=False."""
-        import os
+        """→ (uint8 [n,S,S,3], ok [n]) for one serving chunk: the shared
+        batched-C++-then-threaded-PIL sequence
+        (`data.native.decode_batch_with_fallback` — one GIL release for the
+        chunk, 8-way threaded fallback for non-JPEG/unreadable entries)."""
+        from leaffliction_tpu.data.native import decode_batch_with_fallback
 
-        arrs = None
-        if os.environ.get("LEAF_NATIVE_DECODE", "1") != "0":
-            try:
-                from leaffliction_tpu.data import native
-
-                if native.native_available():
-                    arrs, ok = native.decode_batch_resize(paths, size)
-            except Exception:
-                arrs = None
-        if arrs is None:
-            arrs = np.zeros((len(paths), size, size, 3), np.uint8)
-            ok = np.zeros((len(paths),), bool)
-        decode = decode_resize_pil
-        for i in np.nonzero(~ok)[0]:
-            try:
-                arrs[i] = decode(str(paths[i]), size)
-                ok[i] = True
-            except Exception as exc:
-                LOGGER.warning("Failed to process %s: %s", paths[i], exc)
-        return arrs, ok
+        return decode_batch_with_fallback(paths, size)
 
     # --- core batched forward ---------------------------------------------
 

@@ -103,6 +103,43 @@ def test_balance_to_device_shapes_and_determinism(unique_tree, tmp_path):
     assert all("_aug_" in i["id"] for i in aug_items)
 
 
+def test_two_deficient_classes_row_alignment(tmp_path):
+    """Regression: with MORE THAN ONE deficient class, one transform's
+    device chunks mix tasks from several classes (tasks are class-major,
+    chunks are transform-major) — every augmented row must still land at
+    its own task's position. device_batch=1 is trivially ordered (one
+    task per chunk); the default batching must produce identical rows.
+    The round-3 bug concatenated chunks sorted by first-task position,
+    which interleaved classes and trained on mislabeled pixels."""
+    from PIL import Image
+
+    from conftest import _leafish_image
+
+    root = tmp_path / "tree"
+    rng = np.random.default_rng(9)
+    spec = {"Apple": {"a_heal": 6, "a_rust": 3},
+            "Grape": {"g_spot": 5, "g_blight": 2}}
+    for plant, classes in spec.items():
+        for cls, n in classes.items():
+            d = root / plant / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                Image.fromarray(_leafish_image(rng, 40)).save(
+                    d / f"img{i}.jpg", quality=92)
+
+    ref = balance_to_device(root, img_size=32, seed=42,
+                            target_dir=tmp_path / "aug1",
+                            manifest_out_dir=tmp_path / "ds1",
+                            device_batch=1)
+    got = balance_to_device(root, img_size=32, seed=42,
+                            target_dir=tmp_path / "aug2",
+                            manifest_out_dir=tmp_path / "ds2")
+    assert ref.n_generated == (6 - 3) + (5 - 2)
+    assert [t.label for t in ref.items] == [t.label for t in got.items]
+    np.testing.assert_array_equal(np.asarray(ref.device_images),
+                                  np.asarray(got.device_images))
+
+
 def test_split_fused_result_ratio_allocator(unique_tree, tmp_path):
     res = balance_to_device(unique_tree, img_size=48, seed=42,
                             target_dir=tmp_path / "aug",
