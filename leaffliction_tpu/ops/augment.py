@@ -201,11 +201,13 @@ def rotate_batch(keys: Array, imgs: Array) -> Tuple[Array, Array]:
                 rotate_batch_pallas_nhwc,
             )
 
-            return rotate_batch_pallas_nhwc(imgs, angles, canvas,
-                                            fill=255.0), angles
+            return rotate_batch_pallas_nhwc(
+                imgs, angles, canvas, fill=255.0,
+                max_angle_deg=MAX_ROTATE_DEG), angles
         from leaffliction_tpu.ops.pallas.rotate import rotate_batch_pallas
 
-        return rotate_batch_pallas(imgs, angles, canvas, fill=255.0), angles
+        return rotate_batch_pallas(imgs, angles, canvas, fill=255.0,
+                                   max_angle_deg=MAX_ROTATE_DEG), angles
     out, angles = jax.vmap(lambda k, x: _rotate_one(k, x, canvas))(keys, imgs)
     return _to_u8(out), angles
 

@@ -148,9 +148,26 @@ def _shift_pass(x: Array, shift_per: Array, frac_per: Array, axis: int,
     return jnp.where(low_ok & high_ok, out, fill)
 
 
+def _rotate_bounds(max_angle_deg, cy: float, cx: float,
+                   ph: int, pw: int) -> Tuple[int | None, int | None]:
+    """Static per-pass shift bounds for the barrel bias trick when the
+    caller guarantees |angle| <= max_angle_deg: every row/column of the
+    padded canvas has |shift| <= bound (the bound is taken over the FULL
+    padded extent, so the clamp in `_shift_pass` never actually binds —
+    it only shrinks the barrel to ceil(log2(bias+bound)) conditional
+    rolls instead of log2(dim))."""
+    if max_angle_deg is None:
+        return None, None
+    max_t = math.tan(math.radians(max_angle_deg) / 2.0)
+    max_s = math.sin(math.radians(max_angle_deg))
+    row_bound = int(math.ceil(max_t * max(cy, ph - 1 - cy))) + 1
+    col_bound = int(math.ceil(max_s * max(cx, pw - 1 - cx))) + 1
+    return row_bound, col_bound
+
+
 def _rotate_kernel(angle_ref, img_ref, out_ref, a_ref, b_ref, *,
                    in_hw: Tuple[int, int], canvas_hw: Tuple[int, int],
-                   fill: float):
+                   fill: float, max_angle_deg: float | None = None):
     in_h, in_w = in_hw
     oh, ow = canvas_hw
     ph, pw = a_ref.shape  # padded scratch dims
@@ -160,6 +177,7 @@ def _rotate_kernel(angle_ref, img_ref, out_ref, a_ref, b_ref, *,
     s = jnp.sin(theta)          # column-pass shear coefficient
     cy = (oh - 1) / 2.0
     cx = (ow - 1) / 2.0
+    row_bound, col_bound = _rotate_bounds(max_angle_deg, cy, cx, ph, pw)
 
     # place input centered on a white canvas (scratch A)
     pad_y0 = (oh - in_h) // 2
@@ -178,16 +196,20 @@ def _rotate_kernel(angle_ref, img_ref, out_ref, a_ref, b_ref, *,
         g = sh * (rows - cy)                      # [ph, 1] real shifts
         k = jnp.floor(g)
         _, lo_ok, hi_ok = _scaled_positions(sh, rows - cy, cols, ow - 1.0)
-        return _shift_pass(src, k.astype(jnp.int32) % pw, g - k,
-                           1, lo_ok, hi_ok, fill)
+        raw = k.astype(jnp.int32)
+        return _shift_pass(src, raw if row_bound is not None else raw % pw,
+                           g - k, 1, lo_ok, hi_ok, fill,
+                           max_shift=row_bound)
 
     def col_pass(src: Array, sh: Array) -> Array:
         """out[y, x] = src[y + sh·(x - cx), x] with white fill."""
         g = sh * (cols - cx)                      # [1, pw]
         k = jnp.floor(g)
         _, lo_ok, hi_ok = _scaled_positions(sh, cols - cx, rows, oh - 1.0)
-        return _shift_pass(src, k.astype(jnp.int32) % ph, g - k,
-                           0, lo_ok, hi_ok, fill)
+        raw = k.astype(jnp.int32)
+        return _shift_pass(src, raw if col_bound is not None else raw % ph,
+                           g - k, 0, lo_ok, hi_ok, fill,
+                           max_shift=col_bound)
 
     b_ref[:] = row_pass(a_ref[:], t)
     a_ref[:] = col_pass(b_ref[:], s)
@@ -319,20 +341,35 @@ def shear_batch_pallas(imgs: Array, shears: Array, horizontal: Array,
 
 
 def _shift_pass_lanes3(x: Array, shift_px: Array, frac_per: Array,
-                       low_ok: Array, high_ok: Array, fill: float) -> Array:
+                       low_ok: Array, high_ok: Array, fill: float,
+                       max_shift_px: int | None = None) -> Array:
     """Row shear pass over an INTERLEAVED-channel canvas [ph, 3·w lanes]:
     a shift of k pixels is a roll of 3k lanes, so all three channels move
-    in one barrel pass. `shift_px` [ph, 1] int32 pixel shifts (mod w)."""
+    in one barrel pass. `shift_px` [ph, 1] int32 pixel shifts (raw).
+
+    With a static `max_shift_px` bound the barrel runs over PIXEL bits
+    with lane steps of 3·2^b after a static bias pre-roll — at 224px
+    (3·306 → 1024 lanes) that is 7 conditional rolls instead of 10."""
     dim = x.shape[1]
-    lanes = (shift_px * 3) % dim
-    n_bits = max(1, math.ceil(math.log2(dim)))
-    for b in range(n_bits):
-        step = 1 << b
-        if step >= dim:
-            break
-        bit_on = ((lanes >> b) & 1) == 1
-        rolled = pltpu.roll(x, (-step) % dim, 1)
-        x = jnp.where(bit_on, rolled, x)
+    if max_shift_px is not None:
+        bias = 1 << max(0, max_shift_px.bit_length())
+        px = jnp.clip(shift_px, -max_shift_px, max_shift_px) + bias
+        x = pltpu.roll(x, 3 * bias, 1)            # out[i] = x[i - 3·bias]
+        n_bits = (bias + max_shift_px).bit_length()
+        for b in range(n_bits):
+            bit_on = ((px >> b) & 1) == 1
+            rolled = pltpu.roll(x, (-(3 << b)) % dim, 1)
+            x = jnp.where(bit_on, rolled, x)
+    else:
+        lanes = (shift_px * 3) % dim
+        n_bits = max(1, math.ceil(math.log2(dim)))
+        for b in range(n_bits):
+            step = 1 << b
+            if step >= dim:
+                break
+            bit_on = ((lanes >> b) & 1) == 1
+            rolled = pltpu.roll(x, (-step) % dim, 1)
+            x = jnp.where(bit_on, rolled, x)
     nxt = pltpu.roll(x, (-3) % dim, 1)     # next PIXEL = +3 lanes
     out = x * (1.0 - frac_per) + nxt * frac_per
     return jnp.where(low_ok & high_ok, out, fill)
@@ -340,7 +377,7 @@ def _shift_pass_lanes3(x: Array, shift_px: Array, frac_per: Array,
 
 def _rotate_nhwc_kernel(angle_ref, img_ref, out_ref, a_ref, b_ref, *,
                         in_hw: Tuple[int, int], canvas_hw: Tuple[int, int],
-                        fill: float):
+                        fill: float, max_angle_deg: float | None = None):
     """Expand-canvas rotation with channels interleaved in lanes — one
     program per IMAGE (vs per image-channel): per-pass trig/validity and
     the barrel control are computed once and move all 3 channels, and the
@@ -354,6 +391,10 @@ def _rotate_nhwc_kernel(angle_ref, img_ref, out_ref, a_ref, b_ref, *,
     s = jnp.sin(theta)
     cy = (oh - 1) / 2.0
     cx = (ow - 1) / 2.0
+    # row bound in PIXELS over the padded row extent; col bound over the
+    # padded pixel-column extent (pw3 lanes = pw3/3 pixel columns)
+    row_bound, col_bound = _rotate_bounds(max_angle_deg, cy, cx,
+                                          ph, pw3 // 3)
 
     pad_y0 = (oh - in_h) // 2
     pad_x0 = (ow - in_w) // 2
@@ -370,14 +411,17 @@ def _rotate_nhwc_kernel(angle_ref, img_ref, out_ref, a_ref, b_ref, *,
         k = jnp.floor(g)
         _, lo_ok, hi_ok = _scaled_positions(sh, rows - cy, xpix, ow - 1.0)
         return _shift_pass_lanes3(src, k.astype(jnp.int32), g - k,
-                                  lo_ok, hi_ok, fill)
+                                  lo_ok, hi_ok, fill,
+                                  max_shift_px=row_bound)
 
     def col_pass(src: Array, sh: Array) -> Array:
         g = sh * (xpix - cx)                       # [1, pw3] row shifts
         k = jnp.floor(g)
         _, lo_ok, hi_ok = _scaled_positions(sh, xpix - cx, rows, oh - 1.0)
-        return _shift_pass(src, k.astype(jnp.int32) % ph, g - k,
-                           0, lo_ok, hi_ok, fill)
+        raw = k.astype(jnp.int32)
+        return _shift_pass(src, raw if col_bound is not None else raw % ph,
+                           g - k, 0, lo_ok, hi_ok, fill,
+                           max_shift=col_bound)
 
     b_ref[:] = row_pass(a_ref[:], t)
     a_ref[:] = col_pass(b_ref[:], s)
@@ -386,9 +430,11 @@ def _rotate_nhwc_kernel(angle_ref, img_ref, out_ref, a_ref, b_ref, *,
                   .astype(jnp.int32).astype(jnp.uint8))
 
 
-@partial(jax.jit, static_argnames=("canvas_hw", "fill", "interpret"))
+@partial(jax.jit, static_argnames=("canvas_hw", "fill", "max_angle_deg",
+                                   "interpret"))
 def rotate_batch_pallas_nhwc(imgs: Array, angles_deg: Array,
                              canvas_hw: Tuple[int, int], fill: float = 255.0,
+                             max_angle_deg: float | None = None,
                              interpret: bool = False) -> Array:
     """Interleaved-channel variant of `rotate_batch_pallas`: same math,
     one program per image, no host-side transposes."""
@@ -403,7 +449,8 @@ def rotate_batch_pallas_nhwc(imgs: Array, angles_deg: Array,
 
     out = pl.pallas_call(
         partial(_rotate_nhwc_kernel, in_hw=(in_h, in_w),
-                canvas_hw=(oh, ow), fill=fill),
+                canvas_hw=(oh, ow), fill=fill,
+                max_angle_deg=max_angle_deg),
         grid=(n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -798,9 +845,11 @@ def rotate_batch_pallas_clamp_f32(imgs: Array, angles_deg: Array,
     return jnp.transpose(out[:, :, :h, :w], (0, 2, 3, 1))
 
 
-@partial(jax.jit, static_argnames=("canvas_hw", "fill", "interpret"))
+@partial(jax.jit, static_argnames=("canvas_hw", "fill", "max_angle_deg",
+                                   "interpret"))
 def rotate_batch_pallas(imgs: Array, angles_deg: Array,
                         canvas_hw: Tuple[int, int], fill: float = 255.0,
+                        max_angle_deg: float | None = None,
                         interpret: bool = False) -> Array:
     """Batched expand-canvas rotation: uint8 NHWC [B, h, w, 3] + per-image
     angles (degrees, PIL CCW convention) → uint8 [B, OH, OW, 3].
@@ -808,6 +857,11 @@ def rotate_batch_pallas(imgs: Array, angles_deg: Array,
     Drop-in for the einsum `rotate_warp` path at |angle| < ~60° (the
     augmentation op uses ±30°). One pallas program per (image, channel);
     everything between the uint8 load and the uint8 store stays in VMEM.
+    A static `max_angle_deg` bound (caller-guaranteed) engages the barrel
+    bias trick (~5 fewer conditional rolls of ~25 at 224px). Measured
+    NEUTRAL at 224 on v5e — these passes are not roll-issue-bound, unlike
+    the train-aug kernel where the same trick pays — kept because it is
+    bit-exact (tested) and the roll count shrinks further at 448/512.
     """
     n, in_h, in_w, c = imgs.shape
     oh, ow = canvas_hw
@@ -819,7 +873,7 @@ def rotate_batch_pallas(imgs: Array, angles_deg: Array,
 
     out = pl.pallas_call(
         partial(_rotate_kernel, in_hw=(in_h, in_w), canvas_hw=(oh, ow),
-                fill=fill),
+                fill=fill, max_angle_deg=max_angle_deg),
         grid=(n, c),
         in_specs=[
             # whole angle vector in SMEM; the kernel indexes by program id

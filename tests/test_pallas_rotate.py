@@ -131,6 +131,32 @@ def test_fused_train_aug_kernel_matches_composition(hw):
     np.testing.assert_allclose(got[1], np.asarray(x[1]), atol=1e-6)
 
 
+@pytest.mark.parametrize("variant", ["planar", "nhwc"])
+def test_rotate_bias_trick_matches_unbounded(variant):
+    """`max_angle_deg` is a pure barrel-width optimization: with angles
+    inside the bound, the bounded kernels must be BIT-identical to the
+    unbounded ones (the clamp never binds — the bound covers the padded
+    extent)."""
+    from leaffliction_tpu.ops.pallas.rotate import (
+        rotate_batch_pallas,
+        rotate_batch_pallas_nhwc,
+    )
+
+    h, w = 48, 80
+    rng = np.random.default_rng(6)
+    imgs = rng.integers(0, 256, (4, h, w, 3), np.uint8)
+    angles = np.array([-30.0, -11.7, 0.0, 29.9], np.float32)
+    canvas = rotate_canvas_hw(h, w)
+    fn = rotate_batch_pallas if variant == "planar" else (
+        rotate_batch_pallas_nhwc)
+
+    free = np.asarray(fn(jnp.asarray(imgs), jnp.asarray(angles), canvas,
+                         interpret=True))
+    bound = np.asarray(fn(jnp.asarray(imgs), jnp.asarray(angles), canvas,
+                          max_angle_deg=30.0, interpret=True))
+    np.testing.assert_array_equal(bound, free)
+
+
 @pytest.mark.parametrize("n", [8, 5])
 def test_slab_train_aug_kernel_matches_per_plane(n):
     """The multi-image slab kernel (`train_aug_fused_pallas`) == the
