@@ -56,6 +56,7 @@ def test_kmeans_bias_modes(leaf_img):
         assert 0 < m.mean() < 1  # nontrivial cluster
 
 
+@pytest.mark.slow
 def test_separable_model_trains():
     import jax
 

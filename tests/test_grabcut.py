@@ -77,6 +77,7 @@ def test_device_grabcut_empty_result_guard():
     assert (out & ~init).sum() == 0
 
 
+@pytest.mark.slow
 def test_make_mask_grabcut_device_mode(monkeypatch):
     """grabcut_refine path runs with NO cv2 (LEAF_GRABCUT=device)."""
     import sys

@@ -44,6 +44,7 @@ def leaves():
 
 
 @pytest.mark.parametrize("cand", [_cand_enhanced, _cand_inclusive])
+@pytest.mark.slow
 def test_final_mask_iou_hysteresis_on_vs_off(cfg, leaves, cand):
     for img in leaves:
         rgb = jnp.asarray(img)

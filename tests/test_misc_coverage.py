@@ -44,6 +44,7 @@ def test_resample_edge_clamp_path():
     assert np.all(out_f == 99.0)
 
 
+@pytest.mark.slow
 def test_evaluate_from_manifest(tmp_path, tiny_dataset):
     from leaffliction_tpu.cli import split as split_cli
     from leaffliction_tpu.cli import train as train_cli

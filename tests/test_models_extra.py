@@ -1,6 +1,7 @@
 """ResNet backbone + training-transform hook tests."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +76,7 @@ def test_model_loader_rebuilds_s2d(tmp_path):
     assert logits.shape == (1, 3)
 
 
+@pytest.mark.slow
 def test_resnet_forward_and_grad():
     from leaffliction_tpu.models.resnet import build_resnet
 

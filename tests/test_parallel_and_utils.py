@@ -15,6 +15,7 @@ def test_dryrun_multichip_8():
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_graft_entry_compiles():
     import jax
 
@@ -94,6 +95,7 @@ def test_image_io_helpers(tmp_path):
     assert norm.dtype == np.float32 and norm.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_4():
     from __graft_entry__ import dryrun_multichip
 

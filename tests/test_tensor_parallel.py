@@ -53,6 +53,7 @@ def test_tp_sharding_rule_shapes():
         assert s.spec == P()
 
 
+@pytest.mark.slow
 def test_tp_matches_dp_train_and_eval():
     devices = jax.devices()[:8]
     dp_mesh = make_mesh(MeshSpec(data=8, model=1), devices=devices)

@@ -55,6 +55,7 @@ def test_config_missing_field_exits(tmp_path):
         load_config(bad)
 
 
+@pytest.mark.slow
 def test_mask_strategies_all_run(leaf_img, cfg):
     from leaffliction_tpu.segment.mask import make_mask_core
 
@@ -156,6 +157,7 @@ def test_resample_contour_uniform():
     assert seg.std() < 1.5  # roughly uniform arc length
 
 
+@pytest.mark.slow
 def test_transform_cli_single(leaf_img, tmp_path, monkeypatch):
     from PIL import Image
 
