@@ -178,11 +178,17 @@ def main(argv=None) -> None:
 
     fused_dd = None  # ((train_imgs, train_labels), (val_imgs, val_labels))
     if fused:
+        # Multi-host: every process balances IDENTICALLY (decode +
+        # augmentation are deterministic in the shared seed and source
+        # tree), so each holds the same local pixels; only process 0
+        # writes the shared-filesystem artifacts, and the dataset is
+        # assembled into a globally-replicated array below
+        # (`parallel.mesh.replicate_global`) — still zero pixel downloads.
+        proc0 = jax.process_index() == 0
         if jax.process_count() > 1:
-            LOGGER.error("--balance-from is single-process (the fused "
-                         "dataset lives in one host's device HBM); use the "
-                         "balance/split/train CLIs separately on multi-host")
-            return
+            LOGGER.info("Fused balancing on %d processes "
+                        "(process-identical; artifacts from process 0)",
+                        jax.process_count())
         import jax.numpy as jnp
 
         from leaffliction_tpu.data.fused_balance import (
@@ -194,10 +200,11 @@ def main(argv=None) -> None:
         res = balance_to_device(
             args.balance_from, args.img_size, seed=args.seed,
             materialize=args.materialize_augmented,
+            write_artifacts=proc0,
         )
         train_rows, val_rows = split_fused_result(
             res, val_ratio=args.val_ratio, split_seed=args.split_seed,
-            src_root=args.balance_from,
+            src_root=args.balance_from, write_artifacts=proc0,
         )
         if len(train_rows) == 0 or len(val_rows) == 0:
             LOGGER.error("Insufficient data (train=%d, val=%d)",
@@ -299,9 +306,12 @@ def main(argv=None) -> None:
                 mesh.size, jax.devices()[0].device_kind)
 
     if fused_dd is not None and mesh.size > 1:
-        from leaffliction_tpu.parallel.mesh import replicated
+        from leaffliction_tpu.parallel.mesh import replicate_global
 
-        fused_dd = jax.device_put(fused_dd, replicated(mesh))
+        # single-host: device_put to every mesh device; multi-host: each
+        # process contributes its (identical) local copy device-to-device
+        fused_dd = jax.tree_util.tree_map(
+            lambda x: replicate_global(x, mesh), fused_dd)
 
     total_steps = train_iter.steps_per_epoch() * args.epochs
     state = create_train_state(model, cfg, args.img_size, args.seed)
@@ -448,10 +458,11 @@ def main(argv=None) -> None:
     _, _, y_true, y_pred = evaluate(
         step_fns, result.state, val_iter,
         device_data=fused_dd[1] if fused_dd else None)
-    save_training_artifacts(
-        args.out_dir, result.state, label2idx, result.history,
-        result.best_variant, y_true, y_pred, meta=meta,
-    )
+    if jax.process_index() == 0:  # shared out-dir: one writer on multi-host
+        save_training_artifacts(
+            args.out_dir, result.state, label2idx, result.history,
+            result.best_variant, y_true, y_pred, meta=meta,
+        )
 
 
 if __name__ == "__main__":

@@ -235,12 +235,16 @@ def balance_to_device(
     decode_workers: int = 8,
     device_batch: int = DEVICE_BATCH,
     materialize: bool = False,
+    write_artifacts: bool = True,
 ) -> FusedBalanceResult:
     """Scan → plan → decode originals once → augment on device → manifest.
 
     Returns the full balanced dataset as a device-resident uint8 array plus
     aligned items/labels (all split="train"; apply a split afterwards with
-    `split_fused_result`)."""
+    `split_fused_result`). `write_artifacts=False` skips every file write
+    (manifest + materialization) — multi-host callers run this function on
+    EVERY process (the computation is deterministic, so all processes hold
+    identical pixels) but only process 0 touches the shared filesystem."""
     import jax
     import jax.numpy as jnp
 
@@ -299,7 +303,8 @@ def balance_to_device(
 
     # reference-schema augmented manifest (`dataset_components.py:143-176`)
     manifest_out_dir = Path(manifest_out_dir)
-    manifest_out_dir.mkdir(parents=True, exist_ok=True)
+    if write_artifacts:
+        manifest_out_dir.mkdir(parents=True, exist_ok=True)
     aug_manifest = {
         "meta": {
             "created_at": None,
@@ -317,11 +322,12 @@ def balance_to_device(
     }
     import json
 
-    with (manifest_out_dir / "manifest_augmented.json").open(
-            "w", encoding="utf-8") as f:
-        json.dump(aug_manifest, f, indent=2, ensure_ascii=False)
+    if write_artifacts:
+        with (manifest_out_dir / "manifest_augmented.json").open(
+                "w", encoding="utf-8") as f:
+            json.dump(aug_manifest, f, indent=2, ensure_ascii=False)
 
-    if materialize:
+    if materialize and write_artifacts:
         _materialize_jpegs(all_dev, items, tasks, source_dir, target_dir)
 
     # Honest timing: jax dispatch is async (and block_until_ready is
@@ -373,10 +379,12 @@ def split_fused_result(
     split_seed: int = 32,
     manifest_out_dir: str | Path = "artifacts/datasets",
     src_root: str | Path = "augmented_directory",
+    write_artifacts: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """In-memory split over the balanced items — same ratio allocator and
     seeded shuffle as `leaffliction-split` (`srcs/cli/split.py:125-166`
-    semantics) — writing `manifest_split.json` + `split_summary.csv`.
+    semantics) — writing `manifest_split.json` + `split_summary.csv`
+    (skipped with `write_artifacts=False`; see `balance_to_device`).
 
     Returns (train_rows, val_rows): int32 row indices into
     `result.device_images`/`result.labels`."""
@@ -395,19 +403,20 @@ def split_fused_result(
     split_items = apply_split(result.items, split_map)
 
     manifest_out_dir = Path(manifest_out_dir)
-    manifest_out_dir.mkdir(parents=True, exist_ok=True)
-    save_manifest(
-        manifest_out_dir / "manifest_split.json",
-        {
-            "created_at": datetime.now(timezone.utc).isoformat(),
-            "seed": split_seed,
-            "strategy": "ratio",
-            "val_ratio": val_ratio,
-            "src_root": str(src_root),
-        },
-        split_items,
-    )
-    write_summary(manifest_out_dir / "split_summary.csv", split_items)
+    if write_artifacts:
+        manifest_out_dir.mkdir(parents=True, exist_ok=True)
+        save_manifest(
+            manifest_out_dir / "manifest_split.json",
+            {
+                "created_at": datetime.now(timezone.utc).isoformat(),
+                "seed": split_seed,
+                "strategy": "ratio",
+                "val_ratio": val_ratio,
+                "src_root": str(src_root),
+            },
+            split_items,
+        )
+        write_summary(manifest_out_dir / "split_summary.csv", split_items)
 
     train_rows = np.asarray(
         [i for i, it in enumerate(split_items) if it.split == "train"],

@@ -63,6 +63,46 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate_global(x, mesh: Mesh):
+    """Replicate a process-local array over a (possibly multi-host) mesh
+    WITHOUT a host round-trip.
+
+    Single-process: plain `device_put` with a replicated NamedSharding.
+    Multi-process: every process must already hold an IDENTICAL local
+    copy (the fused balancer guarantees this — decode and augmentation
+    are deterministic functions of the shared seed and the shared source
+    tree); each process copies its local array to its addressable
+    devices (device-to-device) and the global array is assembled from
+    the per-device shards. This is how the fused balance→train dataset
+    becomes visible to a multi-host gather step with zero pixel
+    downloads."""
+    import jax
+
+    sh = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    local = [d for d in mesh.devices.flat
+             if d.process_index == jax.process_index()]
+    shards = [jax.device_put(x, d) for d in local]
+    return jax.make_array_from_single_device_arrays(x.shape, sh, shards)
+
+
+def global_batch_array(x, mesh: Mesh, spec) -> object:
+    """Host value (IDENTICAL on every process) → global jax.Array sharded
+    by `spec`. Single-process: returned as-is (jit's in_shardings place
+    it). Multi-process: jit refuses numpy inputs with non-trivial
+    shardings, so build the global array explicitly — each process serves
+    its addressable shards out of its identical host copy."""
+    import jax
+    import numpy as np_
+
+    if jax.process_count() == 1:
+        return x
+    arr = np_.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx])
+
+
 def tp_shardings(tree, mesh: Mesh, min_size: int = 64):
     """Per-leaf NamedShardings implementing tensor parallelism over the
     `model` axis, by shape: any leaf whose LAST dim divides by the axis

@@ -389,15 +389,19 @@ def build_step_fns(
     # preds come back [K, B] sharded the same way. One dispatch + one fetch
     # per eval — the per-batch overhead the chain exists to kill is paid
     # per-epoch on exactly the configuration the north star targets.
+    # preds come back REPLICATED (an in-program all-gather of [K, B] int32
+    # — a few KB): on multi-host the caller device_gets them directly and
+    # pairs them with its (identical) host-side batch labels; leaving them
+    # data-sharded would make device_get raise on non-addressable shards
     eval_chain_jit = jax.jit(
         eval_chain_gather,
         in_shardings=(st, repl, repl, chain1, chain1),
-        out_shardings=(repl, chain1),
+        out_shardings=(repl, repl),
     )
     eval_chain_ema_jit = jax.jit(
         eval_chain_ema_gather,
         in_shardings=(st, repl, repl, chain1, chain1),
-        out_shardings=(repl, chain1),
+        out_shardings=(repl, repl),
     )
     return StepFns(train_step=train_jit, train_step_chain=chain_jit,
                    train_step_gather=gather_jit,

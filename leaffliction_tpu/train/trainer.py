@@ -163,6 +163,13 @@ def evaluate(
             return 0.0, 0.0, np.zeros((0,), np.int32), np.zeros((0,), np.int32)
         sel = np.stack([np.asarray(b.indices) for b in batches])
         msk = np.stack([np.asarray(b.mask) for b in batches])
+        if jax.process_count() > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from leaffliction_tpu.parallel.mesh import global_batch_array
+
+            sel = global_batch_array(sel, step_fns.mesh, P(None, "data"))
+            msk = global_batch_array(msk, step_fns.mesh, P(None, "data"))
         metrics, preds = chain_fn(state, dd_img, dd_lab, sel, msk)
         metrics, preds = jax.device_get((metrics, preds))
         loss_sum = float(np.sum(metrics["loss_sum"]))
@@ -271,11 +278,13 @@ def fit(
     device and never existed on the host.
     """
     root_key = jax.random.key(seed)
+    # prebuilt fused data is globally replicated by the caller
+    # (`parallel.mesh.replicate_global`), so the gather path works on
+    # multi-host too: every process iterates the SAME full item list and
+    # ships identical global sel indices. `device_dataset=True` (store
+    # upload) stays single-process — its stores are per-host shards.
     prebuilt = train_device_data is not None
-    if prebuilt and jax.process_count() > 1:
-        raise ValueError("fused device-resident training is single-process; "
-                         "use the streamed path on multi-host slices")
-    gather = (device_dataset or prebuilt) and jax.process_count() == 1
+    gather = prebuilt or (device_dataset and jax.process_count() == 1)
     train_dd = val_dd = None
     if prebuilt:
         assert val_device_data is not None
@@ -332,6 +341,20 @@ def fit(
                 # Remainder batches run as a K=1 chain (same program family).
                 sel = batch.indices if chained else batch.indices[None]
                 mk = batch.mask if chained else batch.mask[None]
+                if jax.process_count() > 1:
+                    # multi-host: numpy inputs can't take the [K, B→data]
+                    # sharding directly; build the global index arrays
+                    # (identical on every process)
+                    from jax.sharding import PartitionSpec as P
+
+                    from leaffliction_tpu.parallel.mesh import (
+                        global_batch_array,
+                    )
+
+                    sel = global_batch_array(sel, step_fns.mesh,
+                                             P(None, "data"))
+                    mk = global_batch_array(mk, step_fns.mesh,
+                                            P(None, "data"))
                 state, metrics = step_fns.train_step_gather(
                     state, train_dd[0], train_dd[1], sel, mk, key
                 )

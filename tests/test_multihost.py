@@ -26,8 +26,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_training():
+def test_two_process_training(tmp_path):
+    import shutil
+    import tempfile
+
     port = _free_port()
+    shared = Path(tempfile.gettempdir()) / f"mh_fused_{port}"
+    shutil.rmtree(shared, ignore_errors=True)
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
                         "JAX_PROCESS_ID")}
@@ -39,14 +44,21 @@ def test_two_process_training():
         )
         for i in range(2)
     ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out)
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
-        assert f"MULTIHOST_OK p{i}" in out, out[-2000:]
-    # both hosts computed the same global validation loss
-    loss0 = [ln for ln in outs[0].splitlines() if "MULTIHOST_OK" in ln][0]
-    loss1 = [ln for ln in outs[1].splitlines() if "MULTIHOST_OK" in ln][0]
-    assert loss0.split("val_loss=")[1] == loss1.split("val_loss=")[1]
+    try:
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
+            assert f"MULTIHOST_OK p{i}" in out, out[-2000:]
+            # phase 2: fused balance→train over the same 2-process mesh
+            assert f"MULTIHOST_FUSED_OK p{i}" in out, out[-2000:]
+        # both hosts computed the same global validation loss
+        loss0 = [ln for ln in outs[0].splitlines()
+                 if "MULTIHOST_OK" in ln][0]
+        loss1 = [ln for ln in outs[1].splitlines()
+                 if "MULTIHOST_OK" in ln][0]
+        assert loss0.split("val_loss=")[1] == loss1.split("val_loss=")[1]
+    finally:
+        shutil.rmtree(shared, ignore_errors=True)

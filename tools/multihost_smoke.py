@@ -113,6 +113,57 @@ def main() -> None:
     print(f"MULTIHOST_OK p{pid} steps={result.steps_ran} "
           f"val_loss={loss:.4f} preds={len(y_pred)}", flush=True)
 
+    # ---- phase 2: fused balance→train over the multi-host mesh ------------
+    # Every process balances identically (deterministic decode+augment);
+    # the dataset is assembled globally replicated (replicate_global) and
+    # only process 0 writes shared-filesystem artifacts. Exercises the real
+    # `leaffliction-train --balance-from` CLI end-to-end on 2 processes.
+    import tempfile
+    import time as _time
+    from pathlib import Path
+
+    shared = Path(tempfile.gettempdir()) / f"mh_fused_{port}"
+    tree = shared / "tree"
+    ready = shared / "READY"
+    if pid == 0:
+        from PIL import Image
+
+        trng = np.random.default_rng(7)
+        spec = {"a_heal": 5, "a_rust": 2, "b_spot": 4, "b_blight": 2}
+        for ci, (cls, n) in enumerate(spec.items()):
+            d = tree / ("Apple" if cls.startswith("a") else "Grape") / cls
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(n):
+                arr = trng.integers(0, 255, (24, 24, 3), np.uint8)
+                Image.fromarray(arr).save(d / f"img{i}.jpg", quality=92)
+        ready.touch()
+    else:
+        for _ in range(600):
+            if ready.exists():
+                break
+            _time.sleep(0.1)
+        assert ready.exists(), "process 0 never built the shared tree"
+
+    from leaffliction_tpu.cli import train as train_cli
+
+    out_dir = shared / "models"
+    cwd = os.getcwd()
+    os.chdir(shared)  # balance manifests land under shared/artifacts (p0)
+    try:
+        train_cli.main([
+            "--balance-from", str(tree),
+            "--epochs", "1", "--batch-size", "4", "--img-size", "16",
+            "--scale", "tiny", "--fast", "--no-mixed-precision",
+            "--out-dir", str(out_dir),
+        ])
+    finally:
+        os.chdir(cwd)
+    if pid == 0:
+        assert (out_dir / "leaf_cnn.msgpack").exists(), "no model artifact"
+        assert (shared / "artifacts" / "datasets"
+                / "manifest_split.json").exists(), "no split manifest"
+    print(f"MULTIHOST_FUSED_OK p{pid}", flush=True)
+
 
 if __name__ == "__main__":
     main()
