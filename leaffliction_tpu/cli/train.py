@@ -136,6 +136,13 @@ def main(argv=None) -> None:
             LOGGER.error("Training failed: dataset directory not found: %s",
                          args.balance_from)
             return
+        # Validate BEFORE the balance pipeline runs — split_fused_result
+        # rejecting the ratio after minutes of decode+augment work is a
+        # hostile place to learn about a bad flag.
+        if not (0.0 < args.val_ratio < 1.0):
+            LOGGER.error("Training failed: --val-ratio must be in (0, 1), "
+                         "got %s", args.val_ratio)
+            return
         train_items = val_items = None  # built by the fused path below
         label2idx = {}
     else:
@@ -278,9 +285,20 @@ def main(argv=None) -> None:
             LOGGER.info("Training transform applied in %.1fs",
                         time.perf_counter() - t_tf)
 
-    train_iter = BatchIterator(train_store, args.batch_size, shuffle=True,
+    # --batch-size means PER-PROCESS batch on multi-host (the streamed path
+    # assembles B rows from each host into a B×P global batch). The fused
+    # path iterates the full replicated item list on every process and ships
+    # GLOBAL index batches, so its iterator batch must be B×P to keep the
+    # same effective batch, step count, and optimization dynamics.
+    iter_batch = args.batch_size
+    if fused and jax.process_count() > 1:
+        iter_batch = args.batch_size * jax.process_count()
+        LOGGER.info("Fused multi-host: global batch %d (%d per process x %d "
+                    "processes)", iter_batch, args.batch_size,
+                    jax.process_count())
+    train_iter = BatchIterator(train_store, iter_batch, shuffle=True,
                                seed=args.seed, pad_to_steps=pad_to_steps)
-    val_iter = BatchIterator(val_store, args.batch_size, shuffle=False)
+    val_iter = BatchIterator(val_store, iter_batch, shuffle=False)
 
     dtype = jnp.float32 if args.no_mixed_precision else jnp.bfloat16
     if args.arch == "leafcnn":

@@ -148,10 +148,7 @@ def _augment_on_device(orig_dev, tasks: List[FusedTask], seed: int,
     import jax
     import jax.numpy as jnp
 
-    from leaffliction_tpu.ops.augment import (
-        BATCH_KERNELS,
-        MAX_ROTATE_DEG,
-    )
+    from leaffliction_tpu.ops.augment import BATCH_KERNELS
     from leaffliction_tpu.ops.resample import scale_translate_warp
 
     root_key = jax.random.key(seed)

@@ -197,6 +197,18 @@ class BatchIterator:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _pixels(self, sel: np.ndarray) -> np.ndarray:
+        """Host pixel rows for a batch — or a token-sized zero array when the
+        store's pixels live only in device HBM (`DeviceImageStore`): the
+        gather train/eval paths consume only labels/mask/indices, so copying
+        [B, S, S, 3] of placeholder zeros per batch (~20 MB at 224/b128)
+        would burn host memcpy bandwidth on the hot loop for nothing. The
+        (B, 1, 1, 3) stand-in keeps `Batch.images.ndim` (the chained-chunk
+        discriminant) and `np.stack` chaining working."""
+        if getattr(self.store, "host_pixels", True):
+            return self.store.images[sel]
+        return np.zeros((len(sel), 1, 1, 3), np.uint8)
+
     def epoch(self, epoch_idx: int = 0) -> Iterator[Batch]:
         bs = self.batch_size
         yielded = 0
@@ -207,6 +219,8 @@ class BatchIterator:
             yield batch
         if self.pad_to_steps is not None:
             size = self.store.img_size
+            if not getattr(self.store, "host_pixels", True):
+                size = 1
             while yielded < self.pad_to_steps:
                 yielded += 1
                 yield Batch(
@@ -227,7 +241,7 @@ class BatchIterator:
         for s in range(0, end, bs):
             sel = idx[s:s + bs]
             yield Batch(
-                images=self.store.images[sel],
+                images=self._pixels(sel),
                 labels=self.store.labels[sel],
                 mask=np.ones((bs,), np.float32),
                 indices=sel,
@@ -244,7 +258,7 @@ class BatchIterator:
                 [np.ones((len(sel),), np.float32), np.zeros((pad,), np.float32)]
             )
             yield Batch(
-                images=self.store.images[sel_pad],
+                images=self._pixels(sel_pad),
                 labels=self.store.labels[sel_pad],
                 mask=mask,
                 indices=sel_pad,
@@ -351,8 +365,23 @@ def apply_training_transform_device(images_dev, cfg=None,
         return jnp.where(masks[..., None], chunk,
                          jnp.uint8(255)).astype(jnp.uint8)
 
+    def _finalize(entry):
+        chunk, masks, scores, used = entry
+        masks = finalize_mask_batch(chunk, masks, scores, cfg)
+        return _apply(chunk, masks)[:used]
+
+    # Bounded dispatch window: dispatching EVERY chunk before finalizing any
+    # would hold a device copy of the whole dataset (chunk slices + masks)
+    # alongside `images_dev` and the accumulating outputs — ~3x the dataset
+    # in HBM at peak. A few chunks of lookahead keeps finalize's score fetch
+    # overlapped with later dispatches while capping the transient at
+    # ~dataset + window.
+    from collections import deque
+
     n = images_dev.shape[0]
-    pending = []
+    window = 4
+    pending: "deque" = deque()
+    outs = []
     for start in range(0, n, device_batch):
         chunk = images_dev[start:start + device_batch]
         used = chunk.shape[0]
@@ -361,10 +390,10 @@ def apply_training_transform_device(images_dev, cfg=None,
             chunk = jnp.concatenate([chunk, pad], axis=0)
         masks, scores = make_mask_batch_async(chunk, cfg)
         pending.append((chunk, masks, scores, used))
-    outs = []
-    for chunk, masks, scores, used in pending:
-        masks = finalize_mask_batch(chunk, masks, scores, cfg)
-        outs.append(_apply(chunk, masks)[:used])
+        if len(pending) > window:
+            outs.append(_finalize(pending.popleft()))
+    while pending:
+        outs.append(_finalize(pending.popleft()))
     out = jnp.concatenate(outs, axis=0) if outs else images_dev
     LOGGER.info("Applied training transform on device to %d images "
                 "(no pixel downloads)", n)
