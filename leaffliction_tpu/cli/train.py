@@ -421,10 +421,13 @@ def main(argv=None) -> None:
 
         def epoch_callback(epoch, st, hist):
             if (epoch + 1) % args.checkpoint_every == 0:
+                # collective on multi-host (TP state is all-gathered inside);
+                # only process 0 writes the checkpoint dir + history
                 save_resume_checkpoint(ckpt_dir, epoch, st)
-                ckpt_dir.mkdir(parents=True, exist_ok=True)
-                (ckpt_dir / "history.json").write_text(_json.dumps(hist))
-                LOGGER.info("Checkpoint saved at epoch %d", epoch + 1)
+                if jax.process_index() == 0:
+                    ckpt_dir.mkdir(parents=True, exist_ok=True)
+                    (ckpt_dir / "history.json").write_text(_json.dumps(hist))
+                    LOGGER.info("Checkpoint saved at epoch %d", epoch + 1)
 
     profile_ctx = None
     if args.profile_dir is not None:

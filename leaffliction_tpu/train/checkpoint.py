@@ -50,13 +50,38 @@ def load_model_msgpack(path: Path, template: Optional[Dict] = None) -> Dict:
 # --- mid-run resume (orbax) ------------------------------------------------
 
 
+def _host_tree(state: Any) -> Any:
+    """Materialize a (possibly sharded) state tree on the host.
+
+    Leaves that are neither fully addressable nor fully replicated —
+    tensor-parallel shards spanning processes — are first re-assembled
+    replicated via a jit identity (an all-gather over the array's own mesh;
+    a COLLECTIVE, so on multi-host EVERY process must call this, even the
+    ones that won't write the file)."""
+    def one(x):
+        if isinstance(x, jax.Array) and not (
+                x.is_fully_addressable or x.is_fully_replicated):
+            repl = jax.sharding.NamedSharding(
+                x.sharding.mesh, jax.sharding.PartitionSpec())
+            x = jax.jit(lambda a: a, out_shardings=repl)(x)
+        return x
+
+    return jax.device_get(jax.tree_util.tree_map(one, state))
+
+
 def save_resume_checkpoint(ckpt_dir: Path, step: int, state: Any) -> None:
+    """Save a resume checkpoint. Multi-host safe: the state is gathered on
+    every process (the gather is a collective), and EVERY process must also
+    call `mngr.save` — orbax's save is itself a collective (it runs
+    sync_global_processes barriers) and coordinates single-writer disk
+    access internally (primary host writes metadata / renames the tmp dir)."""
     import orbax.checkpoint as ocp
 
+    host_state = _host_tree(state)
     ckpt_dir = Path(ckpt_dir).resolve()
     with ocp.CheckpointManager(ckpt_dir, options=ocp.CheckpointManagerOptions(
             max_to_keep=2, create=True)) as mngr:
-        mngr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
+        mngr.save(step, args=ocp.args.StandardSave(host_state))
         mngr.wait_until_finished()
 
 
@@ -71,9 +96,12 @@ def latest_resume_step(ckpt_dir: Path) -> Optional[int]:
 
 
 def restore_resume_checkpoint(ckpt_dir: Path, step: int, template: Any) -> Any:
+    """Restore a resume checkpoint (shared filesystem: every process reads
+    the same files — read-only, safe concurrently). The returned tree is
+    host numpy; the training step's in_shardings re-place it on device."""
     import orbax.checkpoint as ocp
 
     ckpt_dir = Path(ckpt_dir).resolve()
     with ocp.CheckpointManager(ckpt_dir) as mngr:
-        target = jax.tree_util.tree_map(np.asarray, jax.device_get(template))
+        target = jax.tree_util.tree_map(np.asarray, _host_tree(template))
         return mngr.restore(step, args=ocp.args.StandardRestore(target))

@@ -154,6 +154,7 @@ def main() -> None:
             "--balance-from", str(tree),
             "--epochs", "1", "--batch-size", "4", "--img-size", "16",
             "--scale", "tiny", "--fast", "--no-mixed-precision",
+            "--checkpoint-every", "1",
             "--out-dir", str(out_dir),
         ])
     finally:
@@ -162,6 +163,10 @@ def main() -> None:
         assert (out_dir / "leaf_cnn.msgpack").exists(), "no model artifact"
         assert (shared / "artifacts" / "datasets"
                 / "manifest_split.json").exists(), "no split manifest"
+        # checkpointing is a collective on every process but a single-writer
+        # on disk: exactly process 0 must have produced the orbax dir
+        assert (out_dir / "checkpoints" / "history.json").exists(), \
+            "no resume checkpoint from process 0"
     print(f"MULTIHOST_FUSED_OK p{pid}", flush=True)
 
 
