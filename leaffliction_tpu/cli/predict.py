@@ -39,6 +39,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--sample-size", type=int, default=100)
     p.add_argument("--target-acc", type=float, default=0.90)
     p.add_argument("--max-attempts", type=int, default=5)
+    p.add_argument("--mesh-data", type=int, default=1,
+                   help="Devices to shard serving batches over (-1: all "
+                        "visible; 1: single-chip plain-jit fast path)")
     return p.parse_args(argv)
 
 
@@ -275,7 +278,17 @@ def main(argv=None) -> None:
 
         from leaffliction_tpu.predict.predictor import Predictor
 
-        predictor = Predictor(learnings_dir).load()
+        mesh = None
+        if args.mesh_data != 1:
+            import jax
+
+            from leaffliction_tpu.parallel.mesh import MeshSpec, make_mesh
+
+            n = args.mesh_data if args.mesh_data > 0 else len(jax.devices())
+            mesh = make_mesh(MeshSpec(data=n, model=1),
+                             devices=jax.devices()[:n])
+            LOGGER.info("Serving mesh: %d-way data parallel", n)
+        predictor = Predictor(learnings_dir, mesh=mesh).load()
         LOGGER.info("Model loaded: %d classes",
                     predictor.model_loader.num_classes)
         if args.batch_mode:

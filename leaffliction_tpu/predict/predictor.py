@@ -30,37 +30,67 @@ LOGGER = get_logger(__name__)
 SERVING_BATCH = 64
 
 
+def _build_infer(model, variables, mesh=None):
+    """→ callable uint8 [B,S,S,3] → probabilities [B,K].
+
+    `mesh=None` (or a 1-device mesh) compiles a PLAIN jit — the relay's
+    sharding-annotated dispatch path costs ~370 ms/call, so single-chip
+    serving must not pay it. A multi-device mesh shards the serving batch
+    over the `data` axis with the variables replicated; XLA inserts no
+    collectives in the forward pass (pure data parallelism). Single-process
+    only: the sharded output is fetched with `device_get`, which requires
+    every shard addressable."""
+    import jax
+    import jax.numpy as jnp
+
+    def fwd(variables, images_u8):
+        x = images_u8.astype(jnp.float32) / 255.0
+        logits = model.apply(variables, x, train=False)
+        return jax.nn.softmax(logits, axis=-1)
+
+    if mesh is None or mesh.size == 1:
+        return jax.jit(lambda imgs: fwd(variables, imgs))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from leaffliction_tpu.parallel.mesh import (
+        DATA_AXIS,
+        batch_sharding,
+        replicated,
+    )
+
+    n_data = int(mesh.shape[DATA_AXIS])
+    if SERVING_BATCH % n_data:
+        raise ValueError(
+            f"serving batch {SERVING_BATCH} not divisible by the mesh "
+            f"data axis ({n_data})")
+    vars_repl = jax.device_put(variables, replicated(mesh))
+    sharded = jax.jit(
+        fwd,
+        in_shardings=(replicated(mesh), batch_sharding(mesh, 4)),
+        out_shardings=NamedSharding(mesh, P(DATA_AXIS, None)),
+    )
+    return lambda imgs: sharded(vars_repl, imgs)
+
+
 class Predictor:
-    def __init__(self, learnings_dir: Path | str) -> None:
+    def __init__(self, learnings_dir: Path | str, mesh=None) -> None:
         self.learnings_dir = Path(learnings_dir)
         self.model_loader = ModelLoader(self.learnings_dir)
+        self.mesh = mesh
         self._infer = None
 
     def load(self) -> "Predictor":
-        import jax
-        import jax.numpy as jnp
-
         self.model_loader.load()
-        model = self.model_loader.model
-        variables = self.model_loader.variables
-
-        @jax.jit
-        def infer(images_u8):
-            x = images_u8.astype(jnp.float32) / 255.0
-            logits = model.apply(variables, x, train=False)
-            return jax.nn.softmax(logits, axis=-1)
-
-        self._infer = infer
+        self._infer = _build_infer(self.model_loader.model,
+                                   self.model_loader.variables, self.mesh)
         return self
 
     @classmethod
-    def from_model(cls, model, variables, labels, img_size: int
+    def from_model(cls, model, variables, labels, img_size: int, mesh=None
                    ) -> "Predictor":
         """Serving path over an in-memory model (no artifact dir) — used by
         benchmarks and tests; the real CLIs go through `load()`."""
-        import jax
-        import jax.numpy as jnp
-
         self = cls.__new__(cls)
         self.learnings_dir = Path(".")
 
@@ -73,14 +103,8 @@ class Predictor:
         stub.model = model
         stub.variables = variables
         self.model_loader = stub
-
-        @jax.jit
-        def infer(images_u8):
-            x = images_u8.astype(jnp.float32) / 255.0
-            logits = model.apply(variables, x, train=False)
-            return jax.nn.softmax(logits, axis=-1)
-
-        self._infer = infer
+        self.mesh = mesh
+        self._infer = _build_infer(model, variables, mesh)
         return self
 
     @staticmethod

@@ -54,6 +54,8 @@ def test_two_process_training(tmp_path):
             assert f"MULTIHOST_OK p{i}" in out, out[-2000:]
             # phase 2: fused balance→train over the same 2-process mesh
             assert f"MULTIHOST_FUSED_OK p{i}" in out, out[-2000:]
+            # phase 3: orbax round-trip of cross-process-sharded (TP) state
+            assert f"MULTIHOST_CKPT_OK p{i}" in out, out[-2000:]
         # both hosts computed the same global validation loss
         loss0 = [ln for ln in outs[0].splitlines()
                  if "MULTIHOST_OK" in ln][0]

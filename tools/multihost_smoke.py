@@ -169,6 +169,36 @@ def main() -> None:
             "no resume checkpoint from process 0"
     print(f"MULTIHOST_FUSED_OK p{pid}", flush=True)
 
+    # ---- phase 3: checkpoint round-trip of CROSS-PROCESS sharded state -----
+    # The fused run above checkpoints replicated state; here a leaf is
+    # sharded over all 4 devices (2 per process), so it is neither fully
+    # addressable nor fully replicated — exactly the tensor-parallel case
+    # `checkpoint._host_tree` must all-gather before orbax sees it.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from leaffliction_tpu.train.checkpoint import (
+        latest_resume_step,
+        restore_resume_checkpoint,
+        save_resume_checkpoint,
+    )
+
+    full = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    sharded = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data", None)),
+        full[items := np.arange(pid * 4, pid * 4 + 4)],
+        global_shape=full.shape,
+    )
+    del items
+    tree_state = {"w": sharded,
+                  "step": np.int32(7)}
+    ckdir = shared / "tp_ckpt"
+    save_resume_checkpoint(ckdir, 3, tree_state)
+    assert latest_resume_step(ckdir) == 3
+    restored = restore_resume_checkpoint(ckdir, 3, tree_state)
+    np.testing.assert_array_equal(np.asarray(restored["w"]), full)
+    assert int(restored["step"]) == 7
+    print(f"MULTIHOST_CKPT_OK p{pid}", flush=True)
+
 
 if __name__ == "__main__":
     main()
