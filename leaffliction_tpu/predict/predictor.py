@@ -50,6 +50,10 @@ def _build_infer(model, variables, mesh=None):
 
     if mesh is None or mesh.size == 1:
         return jax.jit(lambda imgs: fwd(variables, imgs))
+    if jax.process_count() > 1:
+        raise ValueError(
+            "mesh serving is single-process (per-host results are fetched "
+            "with device_get); run one server per host instead")
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
