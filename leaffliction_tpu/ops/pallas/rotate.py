@@ -626,6 +626,151 @@ def train_aug_rotate_contrast_pallas(imgs_u8: Array, angles_deg: Array,
     return jnp.transpose(out[:, :, :h, :w], (0, 2, 3, 1))
 
 
+def _train_aug_nhwc_kernel(angle_ref, factor_ref, img_ref, out_ref,
+                           a_ref, b_ref, *, hw: Tuple[int, int],
+                           max_angle_deg: float):
+    """Interleaved-channel fused training augmentation — one program per
+    IMAGE over an [h, 3·w]-lane canvas (channels interleaved, as NHWC
+    memory already lays them out).
+
+    Math identical to `_train_aug_kernel` (dequant → 3-pass clamp rotation
+    → RandomContrast); the layout differences:
+
+    - row passes shift PIXELS = 3 lanes, so one barrel moves all three
+      channels (`_shift_pass_lanes3` mechanics) — but with CLAMP edge
+      semantics: the per-channel content edge is selected by a lane%3 mask
+      over the three edge-lane broadcasts (Mosaic broadcasts a [:, k:k+1]
+      lane slice for free inside a select, same trick `_shift_pass` uses
+      for its single edge column);
+    - the column pass is unchanged — rows keep channel structure, so the
+      plain `_shift_pass` clamp edges ([0:1, :] / [h-1:h, :]) are correct;
+    - the contrast mean is per channel: three masked sums over the content
+      region (lane%3 masks), then a mod-3 select re-broadcasts them.
+
+    The caller needs NO NHWC↔NCHW transposes — uint8 in and `out_dtype`
+    out are plain reshapes of NHWC batches. That is the point: the
+    per-plane kernel's surrounding transposes are pure HBM traffic inside
+    every train step.
+    """
+    h, w = hw
+    ph, pw3 = a_ref.shape
+
+    i = pl.program_id(0)
+    theta = angle_ref[i] * (math.pi / 180.0)
+    t = -jnp.tan(theta / 2.0)
+    s = jnp.sin(theta)
+    cy = (h - 1) / 2.0
+    cx = (w - 1) / 2.0
+
+    max_t = math.tan(math.radians(max_angle_deg) / 2.0)
+    max_s = math.sin(math.radians(max_angle_deg))
+    row_bound = int(math.ceil(max_t * (h - 1) / 2.0)) + 1
+    col_bound = int(math.ceil(max_s * (w - 1) / 2.0)) + 1
+
+    a_ref[:] = jnp.zeros((ph, pw3), jnp.float32)
+    a_ref[0:h, 0:3 * w] = (img_ref[0].astype(jnp.int32).astype(jnp.float32)
+                           / 255.0)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ph, 1), 0).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, pw3), 1)
+    xpix = (lane // 3).astype(jnp.float32)
+    ch = lane % 3
+    is_c0 = ch == 0
+    is_c1 = ch == 1
+
+    def sel3(v0: Array, v1: Array, v2: Array) -> Array:
+        return jnp.where(is_c0, v0, jnp.where(is_c1, v1, v2))
+
+    def row_pass(src: Array, sh: Array) -> Array:
+        g = sh * (rows - cy)                       # [ph, 1] pixel shifts
+        k = jnp.floor(g)
+        _, lo_ok, hi_ok = _scaled_positions(sh, rows - cy, xpix, w - 1.0)
+        # clamp edges: channel-c content edge pixel, selected per lane
+        e = 3 * (w - 1)
+        edge_low = sel3(src[:, 0:1], src[:, 1:2], src[:, 2:3])
+        edge_high = sel3(src[:, e:e + 1], src[:, e + 1:e + 2],
+                         src[:, e + 2:e + 3])
+        # interleaved barrel with the static bias trick, in PIXEL bits
+        bias = 1 << max(0, row_bound.bit_length())
+        px = jnp.clip(k.astype(jnp.int32), -row_bound, row_bound) + bias
+        x = pltpu.roll(src, 3 * bias, 1)           # out[i] = src[i - 3·bias]
+        n_bits = (bias + row_bound).bit_length()
+        for b in range(n_bits):
+            bit_on = ((px >> b) & 1) == 1
+            rolled = pltpu.roll(x, (-(3 << b)) % pw3, 1)
+            x = jnp.where(bit_on, rolled, x)
+        f = g - k
+        nxt = pltpu.roll(x, (-3) % pw3, 1)         # next PIXEL = +3 lanes
+        out = x * (1.0 - f) + nxt * f
+        return jnp.where(lo_ok, jnp.where(hi_ok, out, edge_high), edge_low)
+
+    def col_pass(src: Array, sh: Array) -> Array:
+        g = sh * (xpix - cx)                       # [1, pw3] row shifts
+        k = jnp.floor(g)
+        _, lo_ok, hi_ok = _scaled_positions(sh, xpix - cx, rows, h - 1.0)
+        return _shift_pass(src, k.astype(jnp.int32), g - k,
+                           0, lo_ok, hi_ok, None, content_dim=h,
+                           max_shift=col_bound)
+
+    b_ref[:] = row_pass(a_ref[:], t)
+    a_ref[:] = col_pass(b_ref[:], s)
+    final = row_pass(a_ref[:], t)
+
+    # per-channel RandomContrast means over the content region
+    content = final[0:h, 0:3 * w]
+    m = []
+    for c3 in range(3):
+        mask = (ch[:, 0:3 * w] == c3).astype(jnp.float32)
+        m.append(jnp.sum(content * mask) / float(h * w))
+    mean = sel3(m[0], m[1], m[2])
+    factor = factor_ref[i]
+    out_ref[0] = (jnp.clip(mean + (final - mean) * factor, 0.0, 1.0)
+                  .astype(out_ref.dtype))
+
+
+@partial(jax.jit, static_argnames=("max_angle_deg", "out_dtype",
+                                   "interpret"))
+def train_aug_rotate_contrast_nhwc_pallas(imgs_u8: Array, angles_deg: Array,
+                                          factors: Array,
+                                          max_angle_deg: float = 18.0,
+                                          out_dtype=jnp.float32,
+                                          interpret: bool = False) -> Array:
+    """Interleaved-channel variant of `train_aug_rotate_contrast_pallas`:
+    same fused dequant+rotate+contrast math, one program per image, and —
+    the point — NO NHWC↔NCHW transposes in the surrounding graph (uint8 in
+    and `out_dtype` out are reshapes of the NHWC batch)."""
+    n, h, w, c = imgs_u8.shape
+    assert c == 3
+    ph = _pad_to(h, _SUBLANE)
+    pw3 = _pad_to(3 * w, _LANE)
+
+    flat = imgs_u8.reshape(n, h, 3 * w)
+    angles1d = angles_deg.astype(jnp.float32).reshape(n)
+    factors1d = factors.astype(jnp.float32).reshape(n)
+
+    out = pl.pallas_call(
+        partial(_train_aug_nhwc_kernel, hw=(h, w),
+                max_angle_deg=max_angle_deg),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, 3 * w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ph, pw3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, ph, pw3), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ph, pw3), jnp.float32),
+            pltpu.VMEM((ph, pw3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(angles1d, factors1d, flat)
+
+    return out[:, :h, :3 * w].reshape(n, h, w, 3)
+
+
 def _train_aug_slab_kernel(angle_ref, factor_ref, img_ref, out_ref,
                            a_ref, b_ref, *, hw: Tuple[int, int], planes: int,
                            max_angle_deg: float):

@@ -101,6 +101,20 @@ def train_augment_u8(
             lambda k: _draw_params(k, rotation_frac, contrast_delta))(keys)
         flipped = jnp.where(do_flip[:, None, None, None],
                             batch_u8[:, :, ::-1, :], batch_u8)
+        import os
+
+        if os.environ.get("LEAF_PALLAS_TRAIN_AUG", "plane") == "nhwc":
+            # interleaved-channel variant: no NHWC<->NCHW transposes in
+            # the step graph (see its docstring); opt-in until the step
+            # win is confirmed on hardware
+            from leaffliction_tpu.ops.pallas.rotate import (
+                train_aug_rotate_contrast_nhwc_pallas,
+            )
+
+            return train_aug_rotate_contrast_nhwc_pallas(
+                flipped, angles, factors,
+                max_angle_deg=rotation_frac * 360.0,
+                out_dtype=out_dtype)
         from leaffliction_tpu.ops.pallas.rotate import (
             train_aug_rotate_contrast_pallas,
         )

@@ -131,6 +131,34 @@ def test_fused_train_aug_kernel_matches_composition(hw):
     np.testing.assert_allclose(got[1], np.asarray(x[1]), atol=1e-6)
 
 
+@pytest.mark.parametrize("hw", [(64, 64), (48, 80)])
+@pytest.mark.parametrize("out_dtype", ["float32", "bfloat16"])
+def test_fused_train_aug_nhwc_kernel_matches_per_plane(hw, out_dtype):
+    """The interleaved-channel fused train-aug kernel == the per-plane one
+    (identical pass math on a lane-interleaved canvas; only the layout and
+    the per-channel edge/mean selects differ)."""
+    from leaffliction_tpu.ops.pallas.rotate import (
+        train_aug_rotate_contrast_nhwc_pallas,
+        train_aug_rotate_contrast_pallas,
+    )
+
+    h, w = hw
+    dt = jnp.dtype(out_dtype)
+    rng = np.random.default_rng(11)
+    imgs = rng.integers(0, 256, (4, h, w, 3), np.uint8)
+    angles = np.array([-17.9, 0.0, 9.3, 17.5], np.float32)
+    factors = np.array([0.92, 1.0, 1.07, 1.1], np.float32)
+
+    ref = np.asarray(train_aug_rotate_contrast_pallas(
+        jnp.asarray(imgs), jnp.asarray(angles), jnp.asarray(factors),
+        max_angle_deg=18.0, out_dtype=dt, interpret=True), np.float32)
+    got = np.asarray(train_aug_rotate_contrast_nhwc_pallas(
+        jnp.asarray(imgs), jnp.asarray(angles), jnp.asarray(factors),
+        max_angle_deg=18.0, out_dtype=dt, interpret=True), np.float32)
+    atol = 1e-6 if out_dtype == "float32" else 1e-2
+    np.testing.assert_allclose(got, ref, atol=atol)
+
+
 @pytest.mark.parametrize("variant", ["planar", "nhwc"])
 def test_rotate_bias_trick_matches_unbounded(variant):
     """`max_angle_deg` is a pure barrel-width optimization: with angles
