@@ -152,6 +152,9 @@ def main(argv=None) -> None:
     except ProcessingError as exc:
         LOGGER.error("Processing error: %s", exc)
         sys.exit(1)
+    except Exception as exc:  # reference catch-all, Augmentation.py:114-116
+        LOGGER.error("Unexpected error: %s", exc)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

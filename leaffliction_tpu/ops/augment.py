@@ -51,10 +51,25 @@ MAX_ROTATE_DEG = 30.0
 
 
 def rotate_canvas_hw(h: int, w: int) -> Tuple[int, int]:
-    """Static canvas covering any rotation up to ±30° with expand=True."""
+    """Static canvas covering any rotation up to ±30° with expand=True.
+
+    The canvas must hold every intermediate of the 3-shear decomposition,
+    not just the final bounding box: the centered INPUT itself (taller or
+    wider than the rotated box for extreme aspect ratios) and the
+    first row-shear's extent `w + tan(15°)·h` (a parallelogram whose
+    corners stick out past both the input and the output box). For
+    square-ish images both extra terms are dominated by the output box,
+    so the hot-path canvas is unchanged; a 16×400 strip (where the old
+    bounding-box-only canvas was narrower than the input and placement
+    crashed) gets the wider canvas it needs. Vertical extents never
+    exceed max(h, rotated height): the column shear maps content straight
+    to its final rows."""
     c = math.cos(math.radians(MAX_ROTATE_DEG))
     s = math.sin(math.radians(MAX_ROTATE_DEG))
-    return (math.ceil(h * c + w * s), math.ceil(w * c + h * s))
+    t = math.tan(math.radians(MAX_ROTATE_DEG) / 2.0)
+    oh = max(h, math.ceil(h * c + w * s))
+    ow = max(w, math.ceil(w + t * h), math.ceil(w * c + h * s))
+    return (oh, ow)
 
 
 def pil_expanded_size(angle_deg: float, w: int, h: int) -> Tuple[int, int]:

@@ -75,6 +75,30 @@ def test_rotate_canvas_and_pil_expand(imgs):
         assert ew <= cw and eh <= ch
 
 
+@pytest.mark.parametrize("hw", [(16, 400), (400, 16)])
+def test_rotate_extreme_aspect_matches_pil(hw):
+    """Regression: the static rotate canvas must hold the centered INPUT
+    and the first shear's extent, not just the rotated bounding box — a
+    16x400 strip used to crash placement (update larger than operand)."""
+    h, w = hw
+    rng = np.random.default_rng(5)
+    img = (rng.integers(0, 200, (h, w, 3)) + 28).astype(np.uint8)
+    out, angles = BATCH_KERNELS["rotate"](keys_for(1, 11), img[None])
+    a = float(np.asarray(angles)[0])
+    ew, eh = pil_expanded_size(a, w, h)
+    canvas = np.asarray(out)[0]
+    assert canvas.shape[0] >= max(h, eh) and canvas.shape[1] >= max(w, ew)
+    top = max((canvas.shape[0] - eh) // 2, 0)
+    left = max((canvas.shape[1] - ew) // 2, 0)
+    ours = canvas[top:top + eh, left:left + ew].astype(np.float32)
+    ref = np.asarray(Image.fromarray(img).rotate(
+        a, resample=Image.BILINEAR, expand=True,
+        fillcolor=(255, 255, 255))).astype(np.float32)
+    assert ours.shape == ref.shape
+    # bilinear-vs-bilinear: bulk of pixels should agree tightly
+    assert (np.abs(ours - ref) <= 20).mean() >= 0.9
+
+
 def test_skew_shear_crop_shapes_and_content(imgs):
     for op in ("skew", "shear", "crop"):
         out = np.asarray(BATCH_KERNELS[op](keys_for(4, 7), imgs))
