@@ -553,7 +553,35 @@ def _await_device(deadline_s: float = 900.0, probe_timeout_s: float = 120.0):
     return False
 
 
+_partial: dict = {
+    "metric": "augmented images/sec/chip at 224px",
+    "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
+}
+
+
+def _arm_watchdog(deadline_s: float = 2700.0) -> None:
+    """The start-of-run probe can't help if the relay goes dark MID-run (any
+    device_get then hangs forever). If the bench hasn't printed within the
+    deadline, emit whatever sections completed (each merges into `_partial`
+    as it finishes) and exit rather than hanging the driver."""
+    import threading
+
+    def fire():
+        _partial.setdefault(
+            "error", f"bench exceeded {deadline_s:.0f}s (relay outage "
+                     "mid-run?); partial results")
+        print(json.dumps(_partial))
+        sys.stdout.flush()
+        import os
+        os._exit(0)
+
+    t = threading.Timer(deadline_s, fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
+    _arm_watchdog()
     if not _await_device():
         # Parseable failure beats a hung driver: record WHY there is no
         # number this round. os._exit avoids waiting on the stuck probe
@@ -570,7 +598,10 @@ def main() -> None:
     device_ips = bench_device()
     # best-of-2 stabilizes the noisy single-core PIL denominator
     pil_ips = max(bench_pil_baseline(), bench_pil_baseline())
+    _partial.update(value=round(device_ips, 1),
+                    vs_baseline=round(device_ips / pil_ips, 2))
     fused_ips, _ = bench_fused_pipeline()
+    _partial["e2e_img_per_sec"] = round(fused_ips, 1)
     ref_pipe_ips = bench_ref_pipeline()
     jpeg_e2e_ips = bench_e2e_balancer()
     pool_ips, pool_workers = bench_pil_pool_baseline()
@@ -596,7 +627,9 @@ def main() -> None:
         "pil_pool_workers": pool_workers,
         "jpeg_e2e_vs_pool": round(jpeg_e2e_ips / pool_ips, 2),
     }
+    _partial.update(result)
     result.update(bench_serving())
+    _partial.update(result)
     result.update(bench_train_mfu())
     print(json.dumps(result))
 
