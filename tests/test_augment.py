@@ -178,6 +178,31 @@ def test_augment_cli_dataset_balances(tiny_dataset, tmp_path, monkeypatch):
     assert (tmp_path / "artifacts/distribution/balanced_distribution.csv").exists()
 
 
+def test_balancer_mixed_extreme_sizes(tmp_path, monkeypatch):
+    """Dataset balancing over a class mixing square, 16x200, and 200x16
+    images: the per-shape batching plus the aspect-safe rotate canvas must
+    handle every group (regression for the canvas placement crash)."""
+    from leaffliction_tpu.cli import augment as aug_cli
+    from leaffliction_tpu.data.scan import count_by_plant_class, scan_dataset
+
+    rng = np.random.default_rng(3)
+    sizes = [(40, 40), (16, 200), (200, 16), (40, 40), (64, 48)]
+    for cls, n in {"a": 5, "b": 2}.items():
+        d = tmp_path / "tree" / "Plant" / cls
+        d.mkdir(parents=True)
+        for i in range(n):
+            h, w = sizes[i % len(sizes)]
+            Image.fromarray(
+                rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+            ).save(d / f"i{i}.jpg")
+
+    monkeypatch.chdir(tmp_path)
+    target = tmp_path / "balanced"
+    aug_cli.main([str(tmp_path / "tree"), "--output", str(target)])
+    counts = count_by_plant_class(scan_dataset(target))
+    assert counts["Plant"] == {"a": 5, "b": 5}
+
+
 def test_rotate_batch_matches_pil_at_sampled_angles(imgs):
     """End-to-end parity: for whatever angle the kernel sampled, the cropped
     canvas must match PIL rotate(expand=True, white) within tolerance."""
