@@ -291,6 +291,13 @@ def main(argv=None) -> None:
     # GLOBAL index batches, so its iterator batch must be B×P to keep the
     # same effective batch, step count, and optimization dynamics.
     iter_batch = args.batch_size
+    if (jax.default_backend() == "tpu" and args.batch_size <= 32
+            and args.img_size >= 160):
+        # reference-default b32 leaves the MXU batch-starved at 224px:
+        # b128 measures ~2.6x img/s and MFU (docs/performance.md roofline)
+        LOGGER.info("Note: --batch-size %d underutilizes the TPU at %dpx; "
+                    "--batch-size 128 measures ~2.6x images/sec",
+                    args.batch_size, args.img_size)
     if fused and jax.process_count() > 1:
         iter_batch = args.batch_size * jax.process_count()
         LOGGER.info("Fused multi-host: global batch %d (%d per process x %d "
