@@ -104,10 +104,11 @@ def train_augment_u8(
         import os
 
         h, w = batch_u8.shape[1], batch_u8.shape[2]
-        # interleaved scratch = 2 f32 canvases of [pad8(h), pad128(3w)];
-        # same 8 MB gate as ops.augment._rotate_vmem_bytes (beyond it the
-        # per-plane kernel's 3x-slower-growing scratch pipelines better)
-        nhwc_scratch = 2 * ((h + 7) // 8 * 8) * ((3 * w + 127) // 128 * 128) * 4
+        # interleaved footprint = 2 f32 scratch canvases + the (up to f32)
+        # out block, all [pad8(h), pad128(3w)]; same 8 MB gate as
+        # ops.augment._rotate_vmem_bytes (beyond it the per-plane kernel's
+        # 3x-slower-growing blocks pipeline better)
+        nhwc_scratch = 3 * ((h + 7) // 8 * 8) * ((3 * w + 127) // 128 * 128) * 4
         if (os.environ.get("LEAF_PALLAS_TRAIN_AUG", "plane") == "nhwc"
                 and nhwc_scratch <= 8 * 1024 * 1024):
             # interleaved-channel variant: no NHWC<->NCHW transposes in
