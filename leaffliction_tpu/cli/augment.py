@@ -133,6 +133,10 @@ def analyze_distribution(target_dir: Path) -> None:
 def main(argv=None) -> None:
     setup_logging()
     try:
+        from leaffliction_tpu.core.cache import enable_compilation_cache
+
+        # augmentation kernels compile remotely on the relay; cache them
+        enable_compilation_cache()
         args = parse_args(argv)
         input_path = Path(args.input_path)
         if not input_path.exists():

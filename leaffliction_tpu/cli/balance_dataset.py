@@ -36,8 +36,10 @@ def main(argv=None) -> None:
         LOGGER.error("Source directory not found: %s", source)
         sys.exit(1)
 
+    from leaffliction_tpu.core.cache import enable_compilation_cache
     from leaffliction_tpu.data.balancer import DatasetBalancer
 
+    enable_compilation_cache()
     DatasetBalancer(
         source_dir=source, target_dir=Path(args.target_dir), seed=args.seed
     ).run()

@@ -276,7 +276,12 @@ def main(argv=None) -> None:
         args = parse_args(argv)
         image_path, learnings_dir = validate_inputs(args)
 
+        from leaffliction_tpu.core.cache import enable_compilation_cache
         from leaffliction_tpu.predict.predictor import Predictor
+
+        # serving program compiles remotely on the relay (minutes, erratic);
+        # the persistent cache makes every start after the first instant
+        enable_compilation_cache()
 
         mesh = None
         if args.mesh_data != 1:

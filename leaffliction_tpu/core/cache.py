@@ -17,10 +17,28 @@ _DEFAULT_DIR = Path(
 )
 
 
+def _platform_scope() -> str:
+    """Subdirectory per requested platform. Sessions on the relay ('axon')
+    also cache XLA:CPU AOT results that were compiled on the RELAY host's
+    CPU; loading those from a local CPU-forced run trips 'machine type ...
+    doesn't match' warnings and risks SIGILL. Scoping the cache dir by the
+    platform the process asked for keeps the two populations apart."""
+    import os
+
+    try:
+        import jax
+
+        plats = jax.config.jax_platforms
+    except Exception:
+        plats = None
+    plats = plats or os.environ.get("JAX_PLATFORMS", "")
+    return (plats.split(",")[0].strip() or "default") if plats else "default"
+
+
 def enable_compilation_cache(cache_dir: Path | None = None) -> None:
     import jax
 
-    path = Path(cache_dir or _DEFAULT_DIR)
+    path = Path(cache_dir or _DEFAULT_DIR) / _platform_scope()
     path.mkdir(parents=True, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", str(path))
