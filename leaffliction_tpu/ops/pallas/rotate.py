@@ -914,10 +914,12 @@ def train_aug_fused_pallas(imgs_u8: Array, angles_deg: Array, factors: Array,
     # blocks measure 13.8 MB double-buffered — fine standalone, but
     # inside the full train-step program the shared scoped-VMEM budget
     # forces single-buffered DMA and the step regresses ~6-7 ms (G=4
-    # too). Standalone callers (e.g. the balancer's fused handoff) are
-    # the intended users; train steps use the per-plane
-    # `train_aug_rotate_contrast_pallas`, whose (1, 1, h, w) blocks
-    # pipeline cleanly inside any surrounding program.
+    # too). No production path uses this variant today — it is kept as
+    # the measured negative result (with its numerics pinned by
+    # tests/test_pallas_rotate.py) for any future STANDALONE caller;
+    # train steps use the per-plane `train_aug_rotate_contrast_pallas`
+    # or the interleaved `train_aug_rotate_contrast_nhwc_pallas`, whose
+    # small blocks pipeline cleanly inside any surrounding program.
     G = 1
     for cand in (4, 2):
         if n % cand == 0:
