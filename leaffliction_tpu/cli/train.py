@@ -103,6 +103,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="Also write the augmented JPEG tree to "
                         "augmented_directory/ (reference artifact parity; "
                         "off the training critical path)")
+    p.add_argument("--export-keras", action="store_true",
+                   help="Also write <out-dir>/leaf_cnn.keras — the "
+                        "reference's own artifact format, loadable with "
+                        "keras.models.load_model (leaf_cnn arch only; "
+                        "requires the keras package)")
     args = p.parse_args(argv)
     for name in ("tiny", "small", "base"):
         if getattr(args, name, False):
@@ -491,6 +496,42 @@ def main(argv=None) -> None:
             args.out_dir, result.state, label2idx, result.history,
             result.best_variant, y_true, y_pred, meta=meta,
         )
+        if args.export_keras:
+            _export_keras_artifact(model, result.state, args)
+
+
+def _export_keras_artifact(model, state, args) -> None:
+    """Write the reference's `.keras` artifact next to the msgpack and
+    record it in meta.json (`keras_file`). Never fails the run: keras
+    absence or an unsupported architecture logs and returns."""
+    import json
+
+    import jax
+
+    from leaffliction_tpu.train.keras_export import (
+        export_keras,
+        keras_available,
+    )
+
+    if args.arch != "leafcnn":
+        LOGGER.warning("--export-keras supports the leaf_cnn architecture "
+                       "only; skipping for %s", args.arch)
+        return
+    if not keras_available():
+        LOGGER.warning("--export-keras requested but the keras package is "
+                       "not importable; skipping")
+        return
+    variables = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "norm_stats": jax.device_get(state.norm_stats),
+    }
+    kpath = export_keras(model, variables, args.img_size,
+                         Path(args.out_dir) / "leaf_cnn.keras")
+    meta_path = Path(args.out_dir) / "meta.json"
+    meta_json = json.loads(meta_path.read_text())
+    meta_json["keras_file"] = str(kpath)
+    meta_path.write_text(json.dumps(meta_json, indent=2))
 
 
 if __name__ == "__main__":

@@ -109,11 +109,12 @@ def train_augment_u8(
         # ops.augment._rotate_vmem_bytes (beyond it the per-plane kernel's
         # 3x-slower-growing blocks pipeline better)
         nhwc_scratch = 3 * ((h + 7) // 8 * 8) * ((3 * w + 127) // 128 * 128) * 4
-        if (os.environ.get("LEAF_PALLAS_TRAIN_AUG", "plane") == "nhwc"
+        if (os.environ.get("LEAF_PALLAS_TRAIN_AUG", "nhwc") == "nhwc"
                 and nhwc_scratch <= 8 * 1024 * 1024):
             # interleaved-channel variant: no NHWC<->NCHW transposes in
-            # the step graph (see its docstring); opt-in until the step
-            # win is confirmed on hardware
+            # the step graph (see its docstring); default since the
+            # hardware A/B (tools/ab_nhwc.py): resnet18@224 b128 18.31 vs
+            # 18.85 ms/step, leafcnn-base b128 49.75 vs 50.08, b32 equal
             from leaffliction_tpu.ops.pallas.rotate import (
                 train_aug_rotate_contrast_nhwc_pallas,
             )

@@ -40,6 +40,16 @@ class ModelLoader:
         mcfg = self.meta.get("model", {})
         use_bf16 = self.meta.get("training", {}).get("mixed_precision", True)
         dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+        if model_file.suffix == ".keras":
+            # reference-trained artifact dir: map the Keras graph's weights
+            # into a LeafCNN (arch inferred from the graph, no meta needed)
+            from leaffliction_tpu.train.keras_export import import_keras
+
+            imported, self.variables = import_keras(model_file)
+            self.model = imported.clone(dtype=dtype)
+            LOGGER.info("Keras model loaded from %s (%d classes)",
+                        model_file, self.num_classes)
+            return self
         arch = mcfg.get("name", "leaf_cnn")
         if arch in ("resnet10", "resnet18"):
             from leaffliction_tpu.models.resnet import build_resnet
