@@ -35,8 +35,16 @@ class ModelLoader:
         self.meta = json.loads(meta_path.read_text())
 
         model_file = Path(self.meta["model_file"])
-        if not model_file.is_absolute() and not model_file.exists():
-            model_file = self.learnings_dir / model_file.name
+        if not model_file.is_absolute():
+            # meta records a path relative to the TRAINING run's cwd (the
+            # reference does the same, srcs/train/utils.py:95-97). Resolve
+            # against the learnings dir FIRST: a same-named file under the
+            # caller's cwd (e.g. artifacts/models/leaf_cnn.keras from a
+            # different run) must never shadow the directory the user
+            # explicitly pointed -learnings at.
+            local = self.learnings_dir / model_file.name
+            if local.exists():
+                model_file = local
         mcfg = self.meta.get("model", {})
         use_bf16 = self.meta.get("training", {}).get("mixed_precision", True)
         dtype = jnp.bfloat16 if use_bf16 else jnp.float32

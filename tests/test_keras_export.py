@@ -153,3 +153,40 @@ def test_import_of_reference_built_keras_model(tmp_path):
     assert imported.widths == (16, 32)
     got = _flax_probs(imported, ivars, x)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_model_file_resolution_prefers_learnings_dir(tmp_path, monkeypatch):
+    """A relative `model_file` in meta.json must resolve against the
+    learnings dir, not the caller's cwd: a same-named artifact under cwd
+    (here a DIFFERENT model at artifacts/models/leaf_cnn.keras) must not
+    shadow the directory the user pointed -learnings at. Regression: the
+    predict CLI run from a training workspace silently served the
+    workspace's own model instead of the reference-trained one."""
+    import json
+
+    from leaffliction_tpu.predict.model_loader import ModelLoader
+
+    img = 32
+    x = np.random.default_rng(9).uniform(0, 1, (2, img, img, 3)).astype(
+        np.float32)
+
+    def make_dir(root, seed):
+        model = build_leafcnn(num_classes=3, scale="tiny")
+        variables = _randomized_variables(model, img, seed=seed)
+        root.mkdir(parents=True, exist_ok=True)
+        export_keras(model, variables, img, root / "leaf_cnn.keras")
+        (root / "meta.json").write_text(json.dumps({
+            "model_file": "artifacts/models/leaf_cnn.keras",  # relative
+            "labels": ["a", "b", "c"],
+            "data": {"img_size": img, "num_classes": 3},
+            "training": {"mixed_precision": False},
+        }))
+        return _flax_probs(model, variables, x)
+
+    make_dir(tmp_path / "cwd" / "artifacts" / "models", seed=1)  # decoy
+    want = make_dir(tmp_path / "learnings", seed=2)
+
+    monkeypatch.chdir(tmp_path / "cwd")
+    loader = ModelLoader(tmp_path / "learnings").load()
+    got = _flax_probs(loader.model, loader.variables, x)
+    np.testing.assert_allclose(got, want, atol=1e-6)

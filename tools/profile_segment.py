@@ -71,8 +71,9 @@ def main() -> None:
     from leaffliction_tpu.ops.kmeans import kmeans_segment_greenest
     from leaffliction_tpu.segment import mask as m
     from leaffliction_tpu.segment.config import load_config
+    from leaffliction_tpu.cli.transform import default_config_path
 
-    cfg = load_config(None)
+    cfg = load_config(default_config_path())
     rng = np.random.default_rng(3)
     imgs = jax.device_put(_leafy_batch(rng))
     imgs_f = imgs.astype(jnp.float32)
