@@ -33,3 +33,44 @@ def test_canny_fused_interior_matches(monkeypatch):
     m = 4
     agree = (fused[m:-m, m:-m] == ref[m:-m, m:-m]).mean()
     assert agree > 0.99
+
+
+def test_hysteresis_fixpoint_matches_bfs_oracle():
+    """The while_loop flood must keep exactly the weak pixels 8-connected
+    to a strong pixel — checked against an independent NumPy BFS over the
+    same weak/strong masks the front end produces."""
+    gray = _gray()
+    nms = np.asarray(_edge_nms_jnp(jnp.asarray(gray), l2=False))
+    low, high = 50.0, 150.0
+    strong, weak = nms > high, nms > low
+    # BFS from every strong pixel through the weak mask (8-connectivity)
+    keep = strong.copy()
+    frontier = list(zip(*np.nonzero(strong)))
+    h, w = weak.shape
+    while frontier:
+        y, x = frontier.pop()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < h and 0 <= nx < w and weak[ny, nx] \
+                        and not keep[ny, nx]:
+                    keep[ny, nx] = True
+                    frontier.append((ny, nx))
+    ours = np.asarray(canny(jnp.asarray(gray), low, high, hysteresis=True))
+    assert (ours == keep).all()
+
+
+def test_hysteresis_batched_matches_single():
+    """vmapped canny (batched while_loop, shared early-exit cond) must
+    equal the per-image result even when images converge at different
+    round counts."""
+    import jax
+
+    g0 = _gray()
+    g1 = np.zeros_like(g0)  # converges in 0 rounds
+    g1[10, 5:60] = 255.0    # one long straight edge
+    batch = jnp.asarray(np.stack([g0, g1]))
+    batched = np.asarray(jax.vmap(lambda g: canny(g, 50, 150))(batch))
+    singles = np.stack([np.asarray(canny(jnp.asarray(g), 50, 150))
+                        for g in (g0, g1)])
+    assert (batched == singles).all()
