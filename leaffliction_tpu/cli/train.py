@@ -72,7 +72,13 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="Devices on the data-parallel mesh axis (-1: all)")
     p.add_argument("--mesh-model", type=int, default=1)
     p.add_argument("--checkpoint-every", type=int, default=0,
-                   help="Save an orbax resume checkpoint every N epochs")
+                   help="Save an orbax resume checkpoint every N epochs "
+                        "(synchronous; works multi-host)")
+    p.add_argument("--checkpoint-every-steps", type=int, default=0,
+                   help="ASYNC orbax resume checkpoint every N steps, off "
+                        "the step critical path (on-device snapshot + "
+                        "background save; single-process). A killed run "
+                        "resumes mid-epoch losing at most N steps")
     p.add_argument("--resume", action="store_true",
                    help="Resume from the latest checkpoint in <out-dir>/checkpoints")
     p.add_argument("--profile-dir", type=Path, default=None,
@@ -103,11 +109,20 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="Also write the augmented JPEG tree to "
                         "augmented_directory/ (reference artifact parity; "
                         "off the training critical path)")
-    p.add_argument("--export-keras", action="store_true",
-                   help="Also write <out-dir>/leaf_cnn.keras — the "
-                        "reference's own artifact format, loadable with "
-                        "keras.models.load_model (leaf_cnn arch only; "
-                        "requires the keras package)")
+    kx = p.add_mutually_exclusive_group()
+    kx.add_argument("--export-keras", action="store_true", default=None,
+                    dest="export_keras",
+                    help="Write <out-dir>/leaf_cnn.keras — the reference's "
+                         "own artifact format, loadable with "
+                         "keras.models.load_model (leaf_cnn arch only; "
+                         "requires the keras package). DEFAULT when keras "
+                         "is importable, so the artifact directory is a "
+                         "drop-in superset of the reference's "
+                         "(srcs/train/utils.py:95-97)")
+    kx.add_argument("--no-export-keras", action="store_false", default=None,
+                    dest="export_keras",
+                    help="Skip the .keras export even when keras is "
+                         "importable")
     args = p.parse_args(argv)
     for name in ("tiny", "small", "base"):
         if getattr(args, name, False):
@@ -404,23 +419,35 @@ def main(argv=None) -> None:
     # mid-run checkpoint/resume (orbax) — absent from the reference entirely
     ckpt_dir = args.out_dir / "checkpoints"
     start_epoch = 0
+    skip_steps = 0
     history = None
     if args.resume:
         import json as _json
 
         from leaffliction_tpu.train.checkpoint import (
             latest_resume_step,
+            read_step_meta,
             restore_resume_checkpoint,
         )
 
         latest = latest_resume_step(ckpt_dir)
         if latest is not None:
             state = restore_resume_checkpoint(ckpt_dir, latest, state)
-            start_epoch = latest + 1
-            hist_file = ckpt_dir / "history.json"
-            if hist_file.exists():
-                history = _json.loads(hist_file.read_text())
-            LOGGER.info("Resumed from checkpoint at epoch %d", latest + 1)
+            ck_meta = read_step_meta(ckpt_dir, latest)
+            if ck_meta is not None:
+                # step-granular checkpoint: resume mid-epoch, skipping the
+                # prefix of the deterministic batch stream already consumed
+                start_epoch = int(ck_meta["epoch"])
+                skip_steps = int(ck_meta["step_in_epoch"])
+                history = ck_meta.get("history")
+                LOGGER.info("Resumed from step checkpoint: epoch %d, "
+                            "step %d", start_epoch + 1, skip_steps)
+            else:
+                start_epoch = latest + 1
+                hist_file = ckpt_dir / "history.json"
+                if hist_file.exists():
+                    history = _json.loads(hist_file.read_text())
+                LOGGER.info("Resumed from checkpoint at epoch %d", latest + 1)
         else:
             LOGGER.warning("No checkpoint found in %s; training from scratch",
                            ckpt_dir)
@@ -440,6 +467,33 @@ def main(argv=None) -> None:
                     ckpt_dir.mkdir(parents=True, exist_ok=True)
                     (ckpt_dir / "history.json").write_text(_json.dumps(hist))
                     LOGGER.info("Checkpoint saved at epoch %d", epoch + 1)
+
+    # async step-granular checkpointing (SURVEY §5): snapshot on device,
+    # save in a background worker — the train chain never blocks on it
+    step_callback = None
+    async_ckpt = None
+    if args.checkpoint_every_steps > 0:
+        if jax.process_count() > 1:
+            LOGGER.warning("--checkpoint-every-steps is single-process; "
+                           "use --checkpoint-every on multi-host. Ignoring.")
+        else:
+            from leaffliction_tpu.train.checkpoint import (
+                AsyncStepCheckpointer,
+            )
+
+            async_ckpt = AsyncStepCheckpointer(ckpt_dir,
+                                               args.checkpoint_every_steps)
+            if history is None:
+                history = {"loss": [], "accuracy": [],
+                           "val_loss": [], "val_accuracy": []}
+            _steps_per_epoch = train_iter.steps_per_epoch()
+            _live_history = history
+
+            def step_callback(epoch, step_in_epoch, st):
+                async_ckpt.maybe_save(
+                    epoch * _steps_per_epoch + step_in_epoch, st,
+                    {"epoch": epoch, "step_in_epoch": step_in_epoch,
+                     "history": _live_history})
 
     profile_ctx = None
     if args.profile_dir is not None:
@@ -471,14 +525,19 @@ def main(argv=None) -> None:
         LOGGER.info("Device-resident dataset enabled (%.0f MB)",
                     dataset_bytes / 1e6)
 
-    result = fit(step_fns, state, train_iter, val_iter, cfg,
-                 epochs=args.epochs, seed=args.seed,
-                 target_val_acc=args.target_val_acc,
-                 start_epoch=start_epoch, history=history,
-                 epoch_callback=epoch_callback, chain_steps=chain_steps,
-                 device_dataset=device_dataset,
-                 train_device_data=fused_dd[0] if fused_dd else None,
-                 val_device_data=fused_dd[1] if fused_dd else None)
+    try:
+        result = fit(step_fns, state, train_iter, val_iter, cfg,
+                     epochs=args.epochs, seed=args.seed,
+                     target_val_acc=args.target_val_acc,
+                     start_epoch=start_epoch, history=history,
+                     epoch_callback=epoch_callback, chain_steps=chain_steps,
+                     device_dataset=device_dataset,
+                     train_device_data=fused_dd[0] if fused_dd else None,
+                     val_device_data=fused_dd[1] if fused_dd else None,
+                     step_callback=step_callback, skip_steps=skip_steps)
+    finally:
+        if async_ckpt is not None:
+            async_ckpt.close()  # flush the in-flight save (kill-safe resume)
 
     if profile_ctx:
         jax.profiler.stop_trace()
@@ -496,14 +555,20 @@ def main(argv=None) -> None:
             args.out_dir, result.state, label2idx, result.history,
             result.best_variant, y_true, y_pred, meta=meta,
         )
-        if args.export_keras:
+        if args.export_keras is not False:
             _export_keras_artifact(model, result.state, args)
 
 
 def _export_keras_artifact(model, state, args) -> None:
     """Write the reference's `.keras` artifact next to the msgpack and
-    record it in meta.json (`keras_file`). Never fails the run: keras
-    absence or an unsupported architecture logs and returns."""
+    record it in meta.json (`keras_file`). Runs by DEFAULT when keras is
+    importable (`--no-export-keras` opts out) so the artifact directory is
+    a drop-in superset of the reference's (`srcs/train/utils.py:95-97`).
+    Never fails the run: every failure mode — keras absence, unsupported
+    architecture, a weight-shape mismatch inside export_keras, a meta.json
+    rewrite error — logs a warning and returns (training already
+    succeeded; losing its artifacts to an optional interop step is never
+    acceptable)."""
     import json
 
     import jax
@@ -513,25 +578,35 @@ def _export_keras_artifact(model, state, args) -> None:
         keras_available,
     )
 
+    explicit = args.export_keras is True
     if args.arch != "leafcnn":
-        LOGGER.warning("--export-keras supports the leaf_cnn architecture "
-                       "only; skipping for %s", args.arch)
+        if explicit:
+            LOGGER.warning("--export-keras supports the leaf_cnn "
+                           "architecture only; skipping for %s", args.arch)
         return
     if not keras_available():
-        LOGGER.warning("--export-keras requested but the keras package is "
-                       "not importable; skipping")
+        # only warn when the user asked for it; the default-on path just
+        # quietly lacks the optional artifact on keras-free installs
+        if explicit:
+            LOGGER.warning("--export-keras requested but the keras package "
+                           "is not importable; skipping")
         return
-    variables = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "norm_stats": jax.device_get(state.norm_stats),
-    }
-    kpath = export_keras(model, variables, args.img_size,
-                         Path(args.out_dir) / "leaf_cnn.keras")
-    meta_path = Path(args.out_dir) / "meta.json"
-    meta_json = json.loads(meta_path.read_text())
-    meta_json["keras_file"] = str(kpath)
-    meta_path.write_text(json.dumps(meta_json, indent=2))
+    try:
+        variables = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "norm_stats": jax.device_get(state.norm_stats),
+        }
+        kpath = export_keras(model, variables, args.img_size,
+                             Path(args.out_dir) / "leaf_cnn.keras")
+        meta_path = Path(args.out_dir) / "meta.json"
+        meta_json = json.loads(meta_path.read_text())
+        meta_json["keras_file"] = str(kpath)
+        meta_path.write_text(json.dumps(meta_json, indent=2))
+        LOGGER.info("Keras artifact exported: %s", kpath)
+    except Exception as exc:
+        LOGGER.warning(".keras export failed (run artifacts are intact): %s",
+                       exc)
 
 
 if __name__ == "__main__":

@@ -19,8 +19,10 @@ Semantics per op (reference lines):
   here vs LANCZOS — tolerance-level parity);
 - distortion (:116-133): additive N(0,5) noise + autocontrast with
   cutoff U(0,2)%. (The reference's uint8 cast of signed noise wraps negatives
-  to 250+; we implement the evident intent — clipped additive noise — and
-  document the delta.)
+  to 250+ and its uint8+uint8 add overflows; the default implements the
+  evident intent — clipped additive noise — while LEAF_STRICT_DISTORTION=1
+  reproduces the exact wraparound arithmetic via `wrap_noise_u8`, golden-
+  tested byte-for-byte against the NumPy semantics.)
 
 Interpolation matches the reference ops: 4-tap Keys bicubic for skew/shear
 (PIL BICUBIC), 6-tap lanczos3 for crop's resize-back (PIL LANCZOS), bilinear
@@ -174,6 +176,32 @@ def _distortion_one(key: Array, img: Array) -> Array:
     return autocontrast(x, cutoff)
 
 
+def wrap_noise_u8(img_u8: Array, noise: Array) -> Array:
+    """The reference's exact noise arithmetic, byte-for-byte
+    (`srcs/preprocessing/image_augmenter.py:121-124`): the float noise is
+    cast to uint8 — a C-style truncation toward zero then mod-256 wrap, so
+    -3.7 becomes 253 — and added to the uint8 image with uint8 overflow
+    (the subsequent np.clip on an already-uint8 array is a no-op). For
+    interior pixels adding 253 ≡ subtracting 3 mod 256, so negative noise
+    still darkens; the delta vs clipping is only at the value boundaries,
+    where a bright pixel wraps to black instead of saturating.
+    → uint8."""
+    n_i = noise.astype(jnp.int32)  # truncation toward zero, like the C cast
+    return ((img_u8.astype(jnp.int32) + jnp.mod(n_i, 256)) % 256
+            ).astype(jnp.uint8)
+
+
+def _distortion_one_wrap(key: Array, img: Array) -> Array:
+    """Strict-parity distortion: same parameter stream as `_distortion_one`
+    (identical key splits and draws) but with the reference's uint8
+    wraparound instead of clipping."""
+    k_noise, k_cut = jax.random.split(key)
+    noise = 5.0 * jax.random.normal(k_noise, img.shape)
+    x = wrap_noise_u8(img, noise).astype(jnp.float32)
+    cutoff = jax.random.uniform(k_cut, (), jnp.float32, 0.0, 2.0)
+    return autocontrast(x, cutoff)
+
+
 # --- batched entry points ---------------------------------------------------
 
 
@@ -263,8 +291,27 @@ def _use_pallas_distortion() -> bool:
     return os.environ.get("LEAF_PALLAS_DISTORT", "") not in ("", "0", "false")
 
 
+def _strict_distortion_wrap() -> bool:
+    """LEAF_STRICT_DISTORTION=1 selects the reference's exact uint8
+    wraparound noise (`wrap_noise_u8`) instead of the default clipped
+    noise — the last bit-level augmentation delta, off by default because
+    wrapping a bright pixel to black is an evident bug in the reference."""
+    import os
+
+    return os.environ.get("LEAF_STRICT_DISTORTION", "") not in (
+        "", "0", "false")
+
+
+@jax.jit
+def distortion_batch_wrap(keys: Array, imgs: Array) -> Array:
+    """Strict-parity (uint8-wraparound) distortion batch."""
+    return _to_u8(jax.vmap(_distortion_one_wrap)(keys, imgs))
+
+
 @jax.jit
 def distortion_batch(keys: Array, imgs: Array) -> Array:
+    if _strict_distortion_wrap():
+        return distortion_batch_wrap(keys, imgs)
     if _use_pallas_distortion() and imgs.shape[1] % 8 == 0:
         from leaffliction_tpu.ops.pallas.distortion import (
             distortion_batch_pallas,

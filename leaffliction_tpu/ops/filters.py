@@ -141,8 +141,10 @@ def canny(gray: Array, low: float = 50.0, high: float = 150.0,
     Gaussian 5x5 → Sobel → magnitude (L1 by default, like cv2) →
     direction-quantized non-maximum suppression → double threshold →
     hysteresis via fixpoint dilation (early exit on convergence;
-    `hysteresis_iters=0` means uncapped, i.e. exact — a nonzero value
-    bounds the rounds). On TPU the Gauss/Sobel/NMS front-end
+    `hysteresis_iters=0` means exact — the internal h·w bound always
+    reaches the fixpoint since each non-final round grows the kept set by
+    at least one of the h·w pixels; a nonzero value caps the rounds). On
+    TPU the Gauss/Sobel/NMS front-end
     runs as one fused Pallas VMEM kernel (`ops/pallas/edge.py`); elsewhere
     the jnp path is used (borders differ within a ≤4 px margin).
 
@@ -160,22 +162,27 @@ def canny(gray: Array, low: float = 50.0, high: float = 150.0,
     if not hysteresis:
         return nms > low
 
-    strong = nms > high
-    weak = nms > low
+    return hysteresis_flood(nms > high, nms > low, hysteresis_iters)
 
-    # hysteresis = keep weak pixels 8-connected to a strong pixel. Fixpoint
-    # flood: grow `strong` by one 3x3 dilation per round inside `weak`,
-    # stop when a round changes nothing. Exact (same result as component
-    # labeling, which this replaced: the labels' scatter/gather table cost
-    # 113 ms vs 33 ms per batch-64 @224 on v5e), and early exit makes the
-    # typical image converge in far fewer than `hysteresis_iters` rounds —
-    # the cap only bounds adversarial spiral chains.
+
+@partial(jax.jit, static_argnames=("iters",))
+def hysteresis_flood(strong: Array, weak: Array, iters: int = 0) -> Array:
+    """Keep the weak pixels 8-connected to a strong pixel. Fixpoint
+    flood: grow `strong` by one 3x3 dilation per round inside `weak`,
+    stop when a round changes nothing. Exact (same result as component
+    labeling, which this replaced: the labels' scatter/gather table cost
+    113 ms vs 33 ms per batch-64 @224 on v5e), and early exit makes the
+    typical image converge in far fewer rounds. `iters=0` bounds the loop
+    at h·w — NOT h+w: a serpentine weak chain can be ~h·w pixels long and
+    each round advances the flood only one pixel along it. The while
+    loop's convergence exit keeps typical cost unchanged; the bound only
+    guarantees termination."""
     h, w = weak.shape[-2], weak.shape[-1]
-    iters = hysteresis_iters if hysteresis_iters else h + w
+    cap = iters if iters else h * w
 
     def cond(state):
         i, s, changed = state
-        return changed & (i < iters)
+        return changed & (i < cap)
 
     def body(state):
         i, s, _ = state

@@ -91,7 +91,7 @@ def train_augment_u8(
     math as `train_augment`, to f32 rounding. Pass
     `out_dtype=jnp.bfloat16` for bf16-compute models: halves the
     augmented batch's HBM write+read, and the model casts to bf16 anyway.
-    (The multi-image slab variant `train_aug_fused_pallas` is NOT used
+    (The multi-image slab variant `tools/slab_train_aug.py` is NOT used
     here: its larger scoped-VMEM blocks lose double-buffered DMA inside
     the full train-step program and regress the step ~6 ms at G=4-8.)
     """

@@ -46,18 +46,31 @@ class ModelLoader:
             if local.exists():
                 model_file = local
         mcfg = self.meta.get("model", {})
-        use_bf16 = self.meta.get("training", {}).get("mixed_precision", True)
-        dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+        training = self.meta.get("training", {})
         if model_file.suffix == ".keras":
             # reference-trained artifact dir: map the Keras graph's weights
-            # into a LeafCNN (arch inferred from the graph, no meta needed)
+            # into a LeafCNN (arch inferred from the graph, no meta needed).
+            # Compute dtype defaults to FLOAT32 here unless meta explicitly
+            # enables mixed precision: reference meta.json has no
+            # training.mixed_precision key, and serving a Keras-trained
+            # model in bf16 by default would silently diverge from the
+            # user's own Keras predictions.
+            use_bf16 = bool(training.get("mixed_precision", False))
             from leaffliction_tpu.train.keras_export import import_keras
 
             imported, self.variables = import_keras(model_file)
-            self.model = imported.clone(dtype=dtype)
+            self.model = imported.clone(
+                dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
+            if self.labels and imported.num_classes != self.num_classes:
+                raise ValueError(
+                    f"meta.json lists {self.num_classes} labels but the "
+                    f".keras graph's head is {imported.num_classes}-wide — "
+                    "predictions would be decoded against wrong labels")
             LOGGER.info("Keras model loaded from %s (%d classes)",
                         model_file, self.num_classes)
             return self
+        use_bf16 = training.get("mixed_precision", True)
+        dtype = jnp.bfloat16 if use_bf16 else jnp.float32
         arch = mcfg.get("name", "leaf_cnn")
         if arch in ("resnet10", "resnet18"):
             from leaffliction_tpu.models.resnet import build_resnet

@@ -207,9 +207,11 @@ class Predictor:
                   for s in range(0, len(paths), SERVING_BATCH)]
         pending = []  # (device_probs, rows_used)
         ok: List[bool] = []
-        # two decode workers: chunk N+1 decodes (one batched C++ call each)
-        # while chunk N's upload/compute is in flight
-        with cf.ThreadPoolExecutor(max_workers=2) as pool:
+        # three decode workers — a 3-deep pipeline: chunks N+1 and N+2
+        # decode (one batched C++ call each) while chunk N's upload/compute
+        # is in flight, so on slow links the decode time fully hides under
+        # the transfer and the link never starves waiting for pixels
+        with cf.ThreadPoolExecutor(max_workers=3) as pool:
             futures = [pool.submit(self._decode_chunk, c, size)
                        for c in chunks]
             for fut in futures:

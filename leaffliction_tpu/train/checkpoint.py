@@ -105,3 +105,115 @@ def restore_resume_checkpoint(ckpt_dir: Path, step: int, template: Any) -> Any:
     with ocp.CheckpointManager(ckpt_dir) as mngr:
         target = jax.tree_util.tree_map(np.asarray, _host_tree(template))
         return mngr.restore(step, args=ocp.args.StandardRestore(target))
+
+
+# --- async, step-granular checkpointing (SURVEY §5) -------------------------
+
+
+def step_meta_path(ckpt_dir: Path, step: int) -> Path:
+    return Path(ckpt_dir) / f"step_meta_{step}.json"
+
+
+def read_step_meta(ckpt_dir: Path, step: int) -> Optional[Dict]:
+    """→ {"epoch", "step_in_epoch", "history"} for a step checkpoint, or
+    None for legacy epoch-granular checkpoints (whose id is the epoch)."""
+    import json
+
+    p = step_meta_path(ckpt_dir, step)
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+class AsyncStepCheckpointer:
+    """Orbax resume checkpoints every N steps, OFF the step critical path.
+
+    The caller hands in the live (donated-next-step) TrainState; `maybe_save`
+    snapshots it with an on-device `jnp.copy` — an async dispatch that the
+    device stream orders BEFORE the next step's donation reuses the buffers,
+    so it costs the train chain nothing — and a single background worker
+    thread then pays the device→host fetch and the orbax write. If the
+    previous save is still in flight when the cadence next fires, the save
+    is skipped rather than queued (bounded memory; the next boundary
+    retries). SURVEY §5 mandates async saves every N steps; the reference
+    has no mid-run checkpointing at all (`srcs/train/utils.py:75-97` is a
+    single post-training save).
+
+    Single-process: orbax's save is a collective on multi-host, and running
+    collectives from per-host worker threads with skip-if-busy cadence
+    could desynchronize the hosts — multi-host runs use the synchronous
+    epoch-granular `save_resume_checkpoint` instead (cli/train.py gates).
+    """
+
+    def __init__(self, ckpt_dir: Path, every_steps: int,
+                 max_to_keep: int = 2) -> None:
+        import concurrent.futures as cf
+
+        import orbax.checkpoint as ocp
+
+        if jax.process_count() > 1:
+            raise ValueError(
+                "AsyncStepCheckpointer is single-process; use the "
+                "epoch-granular save_resume_checkpoint on multi-host")
+        self.ckpt_dir = Path(ckpt_dir).resolve()
+        self.every_steps = max(1, int(every_steps))
+        self._mngr = ocp.CheckpointManager(
+            self.ckpt_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True))
+        self._pool = cf.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt")
+        self._inflight = None
+        self._last_saved = -1
+
+    def maybe_save(self, global_step: int, state: Any,
+                   meta: Dict) -> bool:
+        """Snapshot + schedule a save if the cadence fires and no save is
+        in flight. → True when a save was scheduled. Near-instant either
+        way: the only on-thread work is dispatching the device-side copy."""
+        if global_step - self._last_saved < self.every_steps:
+            return False
+        if self._inflight is not None and not self._inflight.done():
+            return False
+        import jax.numpy as jnp
+
+        snap = jax.tree_util.tree_map(jnp.copy, state)
+        self._last_saved = global_step
+        self._inflight = self._pool.submit(
+            self._save, global_step, snap, dict(meta))
+        return True
+
+    def _save(self, step: int, snap: Any, meta: Dict) -> None:
+        import json
+
+        import orbax.checkpoint as ocp
+
+        host_state = _host_tree(snap)       # device→host fetch, off-thread
+        del snap                            # release the device copies
+        self._mngr.save(step, args=ocp.args.StandardSave(host_state))
+        self._mngr.wait_until_finished()    # commit before meta points at it
+        tmp = step_meta_path(self.ckpt_dir, step).with_suffix(".tmp")
+        tmp.write_text(json.dumps(meta))
+        tmp.replace(step_meta_path(self.ckpt_dir, step))
+        # prune meta files for checkpoints the manager garbage-collected
+        live = set(self._mngr.all_steps())
+        for p in self.ckpt_dir.glob("step_meta_*.json"):
+            try:
+                if int(p.stem.rsplit("_", 1)[1]) not in live:
+                    p.unlink(missing_ok=True)
+            except ValueError:
+                pass
+        LOGGER.info("Async checkpoint saved at step %d", step)
+
+    def busy(self) -> bool:
+        return self._inflight is not None and not self._inflight.done()
+
+    def close(self) -> None:
+        """Wait for the in-flight save (surfacing its exception, if any)
+        and release the manager/worker."""
+        try:
+            if self._inflight is not None:
+                self._inflight.result()
+        finally:
+            self._pool.shutdown(wait=True)
+            self._mngr.close()

@@ -261,12 +261,21 @@ def fit(
     device_dataset: bool = False,
     train_device_data: Optional[Tuple[jax.Array, jax.Array]] = None,
     val_device_data: Optional[Tuple[jax.Array, jax.Array]] = None,
+    step_callback=None,
+    skip_steps: int = 0,
 ) -> FitResult:
     """Run the training loop.
 
     `start_epoch`/`history` support mid-run resume (orbax checkpoints — a
     capability the reference lacks, SURVEY §5); `epoch_callback(epoch, state,
     history)` fires after each epoch's eval (checkpoint saving hook).
+    `step_callback(epoch, step_in_epoch, state)` fires after each dispatch
+    (a chained chunk fires once, with step_in_epoch counting all its steps)
+    — the async step-checkpoint hook; it must not block. `skip_steps` skips
+    the first N steps of the FIRST epoch run (mid-epoch resume: the batch
+    stream is deterministic per epoch seed, so the skipped prefix is exactly
+    the data the interrupted run already consumed; the resumed epoch's train
+    metrics then cover only the remaining steps).
     `chain_steps=k` runs k train steps per dispatch via `train_step_chain`
     (same math; amortizes per-dispatch overhead on slow links).
     `device_dataset=True` uploads the full uint8 train/val stores to HBM once
@@ -333,9 +342,17 @@ def fit(
         stream = chain_batches(train_iter.epoch(epoch), chain_steps)
         if not gather:
             stream = prefetch_to_device(stream, step_fns.mesh)
+        steps_in_epoch = 0
         for i, batch in enumerate(stream):
             key = jax.random.fold_in(epoch_key, i)
             chained = batch.images.ndim == 5  # chained chunk [K, B, ...]
+            if epoch == start_epoch and skip_steps > 0:
+                width = batch.images.shape[0] if chained else 1
+                if steps_in_epoch + width <= skip_steps:
+                    # mid-epoch resume: this dispatch's data was consumed by
+                    # the interrupted run (keys stay index-aligned via `i`)
+                    steps_in_epoch += width
+                    continue
             if gather:
                 # ship only indices; pixels are gathered from HBM in-program.
                 # Remainder batches run as a K=1 chain (same program family).
@@ -371,7 +388,10 @@ def fit(
                 k = 1
             prev = steps_ran
             steps_ran += k
+            steps_in_epoch += k
             pending_metrics.append(metrics)
+            if step_callback is not None:
+                step_callback(epoch, steps_in_epoch, state)
             if log_every and steps_ran // log_every > prev // log_every:
                 m = jax.device_get(metrics)
                 LOGGER.info("step %d: loss=%.4f lr=%.2e", steps_ran,

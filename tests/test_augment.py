@@ -222,3 +222,47 @@ def test_rotate_batch_matches_pil_at_sampled_angles(imgs):
         diff = np.abs(ours[m:-m, m:-m] - ref[m:-m, m:-m])
         frac_close = (diff <= 20).mean()
         assert frac_close > 0.93, (i, float(angle), frac_close)
+
+
+def test_wrap_noise_u8_matches_numpy_reference_bytes():
+    """`wrap_noise_u8` reproduces the reference's exact noise arithmetic
+    byte-for-byte (`srcs/preprocessing/image_augmenter.py:121-124`):
+    noise.astype(np.uint8) — C truncation + mod-256 wrap — added with
+    uint8 overflow (the reference's subsequent np.clip on an already-uint8
+    array is a no-op)."""
+    from leaffliction_tpu.ops.augment import wrap_noise_u8
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    noise = rng.normal(0, 5, img.shape)  # float64, same as the reference
+
+    expected = np.clip(img + noise.astype(np.uint8), 0, 255)  # verbatim math
+    got = np.asarray(wrap_noise_u8(jnp.asarray(img),
+                                   jnp.asarray(noise.astype(np.float32))))
+    np.testing.assert_array_equal(got, expected.astype(np.uint8))
+
+    # the boundary-wrap cases are actually exercised
+    bright = np.full((8, 128, 3), 250, np.uint8)
+    pos = np.full(bright.shape, 20.0, np.float32)
+    wrapped = np.asarray(wrap_noise_u8(jnp.asarray(bright), jnp.asarray(pos)))
+    assert (wrapped == 14).all()  # 250 + 20 wraps, no saturation
+
+
+def test_distortion_strict_wrap_env(imgs, monkeypatch):
+    """LEAF_STRICT_DISTORTION=1 switches distortion_batch to the wraparound
+    variant; parameter stream (noise values, cutoff) is shared with the
+    default clipped path."""
+    from leaffliction_tpu.ops.augment import (
+        distortion_batch,
+        distortion_batch_wrap,
+    )
+
+    keys = keys_for(4, seed=9)
+    strict = np.asarray(distortion_batch_wrap(keys, imgs))
+    assert strict.dtype == np.uint8 and strict.shape == imgs.shape
+    monkeypatch.setenv("LEAF_STRICT_DISTORTION", "1")
+    # call the raw (unjitted) function: re-jitting the same underlying
+    # function object would reuse the earlier tests' cached trace, where
+    # the env flag was read as unset
+    via_env = np.asarray(distortion_batch.__wrapped__(keys, imgs))
+    np.testing.assert_array_equal(via_env, strict)

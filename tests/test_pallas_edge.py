@@ -74,3 +74,30 @@ def test_hysteresis_batched_matches_single():
     singles = np.stack([np.asarray(canny(jnp.asarray(g), 50, 150))
                         for g in (g0, g1)])
     assert (batched == singles).all()
+
+
+def test_hysteresis_serpentine_chain_fully_kept():
+    """A serpentine weak chain ~h·w/2 pixels long (far beyond h+w rounds)
+    must be flooded to the end: the uncapped bound is h·w, and the
+    convergence exit, not the cap, is what normally stops the loop."""
+    from leaffliction_tpu.ops.filters import hysteresis_flood
+
+    h = w = 24
+    weak = np.zeros((h, w), bool)
+    # boustrophedon: every other row fully weak, connected at alternating ends
+    for y in range(0, h, 2):
+        weak[y, :] = True
+        if y + 2 < h:
+            weak[y + 1, w - 1 if (y // 2) % 2 == 0 else 0] = True
+    strong = np.zeros_like(weak)
+    strong[0, 0] = True
+    chain_len = int(weak.sum())
+    assert chain_len > 2 * (h + w)  # the old h+w cap would truncate it
+
+    out = np.asarray(hysteresis_flood(jnp.asarray(strong), jnp.asarray(weak)))
+    np.testing.assert_array_equal(out, weak)  # every weak pixel reached
+
+    # an explicit small cap DOES truncate — the knob still works
+    capped = np.asarray(hysteresis_flood(jnp.asarray(strong),
+                                         jnp.asarray(weak), iters=5))
+    assert capped.sum() < chain_len

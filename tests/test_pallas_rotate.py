@@ -187,13 +187,14 @@ def test_rotate_bias_trick_matches_unbounded(variant):
 
 @pytest.mark.parametrize("n", [8, 5])
 def test_slab_train_aug_kernel_matches_per_plane(n):
-    """The multi-image slab kernel (`train_aug_fused_pallas`) == the
-    per-(image, channel) kernel to f32 rounding, for G>1 and the G=1
-    odd-batch fallback; bf16 output within bf16 quantization."""
+    """The multi-image slab kernel (`train_aug_fused_pallas`, kept in
+    tools/ as a measured negative result) == the per-(image, channel)
+    kernel to f32 rounding, for G>1 and the G=1 odd-batch fallback; bf16
+    output within bf16 quantization."""
     from leaffliction_tpu.ops.pallas.rotate import (
-        train_aug_fused_pallas,
         train_aug_rotate_contrast_pallas,
     )
+    from tools.slab_train_aug import train_aug_fused_pallas
 
     h = w = 32
     rng = np.random.default_rng(5)

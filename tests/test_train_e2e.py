@@ -134,3 +134,32 @@ def test_predict_evaluate_fails_exit2(trained, tiny_dataset, tmp_path,
                           "--max-attempts", "2"])
     assert exc.value.code == 2
     assert not (tmp_path / "nope.json").exists()
+
+
+def test_keras_artifact_exported_by_default(trained, tiny_dataset, tmp_path,
+                                            monkeypatch):
+    """With keras importable, the default artifact set includes
+    `leaf_cnn.keras` (reference parity, `srcs/train/utils.py:95-97`) and
+    meta records it; predict can serve from the .keras file directly."""
+    import shutil
+
+    keras = pytest.importorskip("keras")  # noqa: F841
+    _, _, models = trained
+    kpath = models / "leaf_cnn.keras"
+    assert kpath.exists(), "default train run must export leaf_cnn.keras"
+    meta = json.loads((models / "meta.json").read_text())
+    assert meta["keras_file"].endswith("leaf_cnn.keras")
+
+    # a learnings dir whose model_file IS the .keras loads through predict
+    kdir = tmp_path / "keras_learnings"
+    kdir.mkdir()
+    shutil.copy(kpath, kdir / "leaf_cnn.keras")
+    meta2 = dict(meta, model_file="leaf_cnn.keras")
+    meta2.setdefault("training", {})["mixed_precision"] = False
+    (kdir / "meta.json").write_text(json.dumps(meta2))
+    monkeypatch.setenv("LEAF_NO_VIEWER", "1")
+    img = next((tiny_dataset / "Apple" / "healthy").glob("*.JPG"))
+    out_dir = tmp_path / "pred_keras"
+    predict_cli.main([str(img), "--learnings-dir", str(kdir),
+                      "--output-dir", str(out_dir)])
+    assert (out_dir / f"{img.stem}_prediction.png").exists()
