@@ -155,6 +155,28 @@ class DatasetBalancer:
             pil_expanded_size,
         )
 
+        # Backend choice: device (upload-once, batched TPU kernels, download
+        # + host encode) vs host (PIL process pool with the device kernels'
+        # exact parameter stream — `data/host_augment.py`). `auto` probes the
+        # d2h link: on narrow relay links the pixel download floors the
+        # device path below a host pool (BENCH_r03: 57 vs 269 img/s).
+        from leaffliction_tpu.data.host_augment import (
+            execute_tasks_host,
+            resolve_backend,
+        )
+
+        header_shapes: Dict[Path, tuple] = {}
+        for p in {t.source_img for t in tasks}:
+            try:
+                with Image.open(p) as im:
+                    header_shapes[p] = (im.height, im.width, 3)
+            except Exception:
+                pass
+        if resolve_backend(tasks, header_shapes) == "host":
+            LOGGER.info("Executing %d tasks on the host pool backend",
+                        len(tasks))
+            return execute_tasks_host(tasks, self.seed)
+
         # native libjpeg IO when built (skips per-image Python codec overhead)
         try:
             from leaffliction_tpu.data import native as native_jpeg

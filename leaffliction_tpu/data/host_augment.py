@@ -1,0 +1,295 @@
+"""Host-pool execution backend for the JPEG-materializing balancer.
+
+Why this exists: the classic balancer (`data/balancer.py`) augments on
+device and downloads uint8 pixels for JPEG encode. On hosts whose
+host↔device link is fast (PCIe/datacenter TPU-VM, >10 GB/s) that path wins
+outright; on a *narrow* link (this dev relay swings 3–70 MB/s) the d2h
+download is the hard floor — a single-core PIL pool beats it 5×
+(`BENCH_r03.json: jpeg_e2e_vs_pool 0.21`). A framework that insists on the
+device path regardless of link weather is slower than the reference it
+replaces on exactly one axis: materializing an augmented tree.
+
+This module is the fix: a process-pool backend that executes the SAME task
+plan (same `AugTask` list, same output names, same per-task seeds) with
+PIL/NumPy on the host, plus a probe-driven `pick_balance_backend` that
+chooses device vs host per run from the measured d2h bandwidth.
+
+Parameter parity: every transform parameter (flip direction, rotation
+angle, skew/shear factors, crop window fractions, autocontrast cutoff) is
+drawn from the IDENTICAL `jax.random` stream as the device kernels
+(`ops/augment.py` — same `fold_in(root_key, task_seed)` keys, same split
+order, same uniform bounds) in ONE batched call in the parent process, so
+both backends produce the same geometry for the same task. Pixel-level
+interpolation is PIL's (the reference implementation the device kernels
+are golden-tested against, `srcs/preprocessing/image_augmenter.py:12-133`);
+distortion noise is distribution-identical (NumPy Gaussian per task seed)
+rather than bit-identical — the one documented delta, matching the classic
+tolerance contract.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from leaffliction_tpu.core.logging import get_logger
+
+LOGGER = get_logger(__name__)
+
+# Conservative per-worker PIL throughput (img/s) at ~256px used by the
+# `auto` backend decision. Measured on this host: 268 img/s for one worker
+# (`bench.py bench_pil_pool_baseline`); 150 keeps the decision biased
+# toward the device path on fast links.
+PER_WORKER_IPS = 150.0
+
+
+@dataclass(frozen=True)
+class TaskParams:
+    """Host-side transform parameters for one task (already drawn from the
+    device kernels' jax PRNG stream)."""
+
+    transform: str
+    flip_horizontal: bool = False
+    angle_deg: float = 0.0
+    skew_s: float = 0.0
+    shear_s: float = 0.0
+    shear_horizontal: bool = False
+    crop_ratio: float = 0.0
+    crop_u_left: float = 0.0
+    crop_u_top: float = 0.0
+    cutoff: float = 0.0
+
+
+def draw_params_batch(root_seed: int, transforms: Sequence[str],
+                      task_seeds: Sequence[int]) -> List[TaskParams]:
+    """Draw every task's parameters in ONE jitted call, from the exact
+    streams the device kernels use (`ops/augment.py`):
+
+    - flip:  bernoulli(key)                      (`_flip_one`)
+    - rotate: U(key, -30, 30)                    (`_rotate_one`)
+    - skew:  U(key, 0.05, 0.15)                  (`_skew_one`)
+    - shear: k_dir,k_s = split(key); U(k_s,-.2,.2), bern(k_dir) (`_shear_one`)
+    - crop:  k_r,k_l,k_t = split(key,3); U(k_r,.8,.95), U(k_l), U(k_t)
+    - distortion: k_n,k_c = split(key); U(k_c, 0, 2)  (noise drawn per
+      worker — see module docstring)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def draw_all(key):
+        # draw every op's params from the op's own stream; the caller picks
+        # the relevant fields per task (unused draws cost nothing at this
+        # scale and keep each op's stream byte-identical to its kernel)
+        flip_h = jax.random.bernoulli(key)
+        angle = jax.random.uniform(key, (), jnp.float32, -30.0, 30.0)
+        skew_s = jax.random.uniform(key, (), jnp.float32, 0.05, 0.15)
+        k_dir, k_s = jax.random.split(key)
+        shear_s = jax.random.uniform(k_s, (), jnp.float32, -0.2, 0.2)
+        shear_h = jax.random.bernoulli(k_dir)
+        k_r, k_l, k_t = jax.random.split(key, 3)
+        ratio = jax.random.uniform(k_r, (), jnp.float32, 0.8, 0.95)
+        u_left = jax.random.uniform(k_l, ())
+        u_top = jax.random.uniform(k_t, ())
+        k_noise, k_cut = jax.random.split(key)
+        del k_noise
+        cutoff = jax.random.uniform(k_cut, (), jnp.float32, 0.0, 2.0)
+        return (flip_h, angle, skew_s, shear_s, shear_h, ratio, u_left,
+                u_top, cutoff)
+
+    root_key = jax.random.key(root_seed)
+    keys = jax.vmap(lambda s: jax.random.fold_in(root_key, s))(
+        jnp.asarray(task_seeds, jnp.uint32))
+    cols = [np.asarray(c) for c in jax.jit(jax.vmap(draw_all))(keys)]
+    out = []
+    for i, transform in enumerate(transforms):
+        out.append(TaskParams(
+            transform=transform,
+            flip_horizontal=bool(cols[0][i]),
+            angle_deg=float(cols[1][i]),
+            skew_s=float(cols[2][i]),
+            shear_s=float(cols[3][i]),
+            shear_horizontal=bool(cols[4][i]),
+            crop_ratio=float(cols[5][i]),
+            crop_u_left=float(cols[6][i]),
+            crop_u_top=float(cols[7][i]),
+            cutoff=float(cols[8][i]),
+        ))
+    return out
+
+
+def _apply_host_task(args) -> bool:
+    """Worker: JPEG decode → one PIL/NumPy transform (explicit params) →
+    JPEG encode q95. Pure host; no jax in the worker."""
+    src, dst, p, task_seed, strict_wrap = args
+    try:
+        from PIL import Image, ImageOps
+
+        with Image.open(src) as im:
+            img = im.convert("RGB")
+        w, h = img.size
+        t = p.transform
+        if t == "flip":
+            img = img.transpose(Image.FLIP_LEFT_RIGHT if p.flip_horizontal
+                                else Image.FLIP_TOP_BOTTOM)
+        elif t == "rotate":
+            # device path is bilinear into the expanded canvas
+            # (`ops/augment.rotate_batch`); PIL expand=True crops identically
+            img = img.rotate(p.angle_deg, expand=True, fillcolor="white",
+                             resample=Image.BILINEAR)
+        elif t == "skew":
+            s = p.skew_s
+            img = img.transform(
+                (w, h), Image.PERSPECTIVE,
+                [1 + s, 0, -s * w, 0, 1 + s, -s * h, 0, 0], Image.BICUBIC)
+        elif t == "shear":
+            coeffs = ([1, p.shear_s, 0, 0, 1, 0] if p.shear_horizontal
+                      else [1, 0, 0, p.shear_s, 1, 0])
+            img = img.transform((w, h), Image.AFFINE, coeffs, Image.BICUBIC)
+        elif t == "crop":
+            # same f32 window math as `_crop_one` (floor in float32)
+            ratio = np.float32(p.crop_ratio)
+            new_w = int(np.floor(np.float32(w) * ratio))
+            new_h = int(np.floor(np.float32(h) * ratio))
+            left = int(np.floor(np.float32(p.crop_u_left)
+                                * np.float32(w - new_w + 1)))
+            top = int(np.floor(np.float32(p.crop_u_top)
+                               * np.float32(h - new_h + 1)))
+            img = img.crop((left, top, left + new_w, top + new_h)).resize(
+                (w, h), Image.LANCZOS)
+        elif t == "distortion":
+            arr = np.asarray(img)
+            noise = np.random.default_rng(task_seed).normal(0.0, 5.0,
+                                                            arr.shape)
+            if strict_wrap:
+                # reference uint8 wraparound (`image_augmenter.py:121-124`)
+                noisy = ((arr.astype(np.int32)
+                          + (noise.astype(np.int32) % 256)) % 256
+                         ).astype(np.uint8)
+            else:
+                noisy = np.clip(arr + noise, 0, 255).astype(np.uint8)
+            img = ImageOps.autocontrast(Image.fromarray(noisy),
+                                        cutoff=p.cutoff)
+        else:
+            raise ValueError(f"unknown transform: {t}")
+        img.save(dst, quality=95)
+        return True
+    except Exception as exc:  # pragma: no cover - worker-side IO errors
+        LOGGER.error("Host augment failed: %s (%s)", dst, exc)
+        return False
+
+
+def execute_tasks_host(tasks, root_seed: int,
+                       workers: Optional[int] = None) -> Tuple[int, int]:
+    """Run the balancer's task list on a host process pool.
+
+    `tasks`: the balancer's `AugTask` list (source/output paths, transform,
+    per-task seed). Returns (completed, failed). Same artifact names and
+    geometry as the device path; see module docstring for the parity
+    contract.
+    """
+    import concurrent.futures as cf
+    import multiprocessing as mp
+
+    from leaffliction_tpu.core.sysinfo import get_optimal_worker_count
+
+    strict_wrap = os.environ.get("LEAF_STRICT_DISTORTION", "") not in (
+        "", "0", "false")
+    workers = workers or get_optimal_worker_count()
+    params = draw_params_batch(root_seed, [t.transform for t in tasks],
+                               [t.task_seed for t in tasks])
+    args = [(str(t.source_img), str(t.output_path), p, t.task_seed,
+             strict_wrap) for t, p in zip(tasks, params)]
+    completed = failed = 0
+    # spawn: forking after JAX initialized its thread pools can deadlock
+    with cf.ProcessPoolExecutor(
+            max_workers=workers,
+            mp_context=mp.get_context("spawn")) as pool:
+        for i, ok in enumerate(pool.map(_apply_host_task, args,
+                                        chunksize=16)):
+            if ok:
+                completed += 1
+            else:
+                failed += 1
+            if (i + 1) % 500 == 0:
+                LOGGER.info("Progress: %d/%d (%.1f%%)", i + 1, len(args),
+                            100.0 * (i + 1) / max(len(args), 1))
+    return completed, failed
+
+
+def probe_d2h_mbps(nbytes: int = 4 * 1024 * 1024) -> float:
+    """Measure device→host bandwidth with one array fetch (MB/s)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros((nbytes,), jnp.uint8)
+    x.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(jax.device_get(x))
+    dt = time.perf_counter() - t0
+    return nbytes / (1024.0 * 1024.0) / max(dt, 1e-9)
+
+
+def pick_balance_backend(
+    link_mbps: float,
+    avg_img_mb: float,
+    host_workers: int,
+    per_worker_ips: float = PER_WORKER_IPS,
+) -> str:
+    """'device' or 'host' from measured link bandwidth (pure, unit-tested).
+
+    The device path is download-bound on narrow links: predicted throughput
+    = link_MBps / avg output image MB. The host pool scales with workers.
+    Ties go to the device path (wins on encode offload + upload dedup).
+    """
+    device_ips = link_mbps / max(avg_img_mb, 1e-9)
+    host_ips = per_worker_ips * max(host_workers, 1)
+    return "device" if device_ips >= host_ips else "host"
+
+
+def resolve_backend(tasks, decoded_shapes: Dict,
+                    workers: Optional[int] = None) -> str:
+    """Resolve LEAF_BALANCE_BACKEND (device|host|auto; default auto).
+
+    `decoded_shapes`: source path → (h, w, c) for estimating the average
+    output image size the device path would download.
+    """
+    choice = os.environ.get("LEAF_BALANCE_BACKEND", "auto").lower()
+    if choice in ("device", "host"):
+        return choice
+    if choice != "auto":
+        LOGGER.warning("Unknown LEAF_BALANCE_BACKEND=%r; using auto", choice)
+    from leaffliction_tpu.core.sysinfo import get_optimal_worker_count
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        # no host<->device link to lose to: keep the in-process jax path
+        return "device"
+    sizes = []
+    for t in tasks:
+        shape = decoded_shapes.get(t.source_img)
+        if shape is None:
+            continue
+        h, w = shape[0], shape[1]
+        if t.transform == "rotate":
+            # expanded canvas downloads larger than the source
+            from leaffliction_tpu.ops.augment import rotate_canvas_hw
+
+            h, w = rotate_canvas_hw(h, w)
+        sizes.append(h * w * 3 / (1024.0 * 1024.0))
+    avg_mb = float(np.mean(sizes)) if sizes else 0.2
+    try:
+        link = probe_d2h_mbps()
+    except Exception as exc:
+        LOGGER.warning("d2h probe failed (%s); using host pool", exc)
+        return "host"
+    backend = pick_balance_backend(link, avg_mb,
+                                   workers or get_optimal_worker_count())
+    LOGGER.info("Balance backend auto: d2h %.1f MB/s, avg img %.2f MB "
+                "-> %s", link, avg_mb, backend)
+    return backend

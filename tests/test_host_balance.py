@@ -1,0 +1,127 @@
+"""Host-pool balancer backend: param-stream parity, backend picker, e2e.
+
+The host backend (`data/host_augment.py`) exists for narrow host<->device
+links where the device path's pixel download is the throughput floor
+(VERDICT r3 weak #4). Contract: identical task plan and output names, and
+transform parameters drawn from the device kernels' exact jax PRNG streams.
+"""
+
+import json
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from leaffliction_tpu.data.host_augment import (
+    draw_params_batch,
+    execute_tasks_host,
+    pick_balance_backend,
+)
+
+
+def test_pick_balance_backend_thresholds():
+    # fast link (PCIe-class): device wins regardless of workers
+    assert pick_balance_backend(10_000.0, 0.2, 8) == "device"
+    # relay-class link, 0.2 MB images: 10 MB/s -> 50 img/s device vs
+    # 150 img/s for one host worker
+    assert pick_balance_backend(10.0, 0.2, 1) == "host"
+    # tie goes to device (encode offload + upload dedup)
+    assert pick_balance_backend(30.0, 0.2, 1) == "device"
+    # more workers raise the host side
+    assert pick_balance_backend(50.0, 0.2, 4) == "host"
+
+
+def test_param_stream_matches_device_kernels():
+    """Angles/shears drawn by the host backend equal the device kernels'
+    draws for the same root seed + task seeds."""
+    from leaffliction_tpu.ops.augment import BATCH_KERNELS
+
+    seeds = [7, 123, 999_983, 42]
+    params = draw_params_batch(42, ["rotate"] * 4, seeds)
+
+    root = jax.random.key(42)
+    keys = jax.vmap(lambda s: jax.random.fold_in(root, s))(
+        jnp.asarray(seeds, jnp.uint32))
+    imgs = jnp.zeros((4, 16, 16, 3), jnp.uint8)
+    _, angles = BATCH_KERNELS["rotate"](keys, imgs)
+    np.testing.assert_allclose(
+        np.asarray([p.angle_deg for p in params], np.float32),
+        np.asarray(angles), rtol=0, atol=0)
+
+    # shear: same split order as `_shear_one`
+    p_shear = draw_params_batch(42, ["shear"] * 4, seeds)
+    for key, p in zip(keys, p_shear):
+        k_dir, k_s = jax.random.split(key)
+        s = jax.random.uniform(k_s, (), jnp.float32, -0.2, 0.2)
+        assert float(s) == pytest.approx(p.shear_s, abs=0)
+        assert bool(jax.random.bernoulli(k_dir)) == p.shear_horizontal
+
+    # flip: bernoulli straight off the task key
+    p_flip = draw_params_batch(42, ["flip"] * 4, seeds)
+    for key, p in zip(keys, p_flip):
+        assert bool(jax.random.bernoulli(key)) == p.flip_horizontal
+
+
+def test_execute_tasks_host_tiny_tree(tmp_path):
+    from leaffliction_tpu.data.balancer import AugTask
+
+    rng = np.random.default_rng(11)
+    src_dir = tmp_path / "cls"
+    src_dir.mkdir()
+    srcs = []
+    for i in range(2):
+        p = src_dir / f"img{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (40, 48, 3)).astype(np.uint8)
+                        ).save(p, quality=95)
+        srcs.append(p)
+
+    transforms = ["flip", "rotate", "skew", "shear", "crop", "distortion"]
+    tasks = [
+        AugTask(source_img=srcs[i % 2],
+                output_path=src_dir / f"img_aug_{t}_{i}.jpg",
+                transform=t, task_seed=1000 + i)
+        for i, t in enumerate(transforms)
+    ]
+    done, failed = execute_tasks_host(tasks, root_seed=42, workers=2)
+    assert (done, failed) == (6, 0)
+    for t in tasks:
+        assert t.output_path.exists()
+        with Image.open(t.output_path) as im:
+            assert im.size[0] > 0
+    # rotate output expanded beyond the 48x40 source
+    with Image.open(src_dir / "img_aug_rotate_1.jpg") as im:
+        assert im.size[0] >= 48 and im.size[1] >= 40
+
+
+def test_balancer_host_backend_e2e(tmp_path, monkeypatch):
+    """Full balancer run forced onto the host backend: balanced counts,
+    reference naming, manifest schema."""
+    from leaffliction_tpu.data.balancer import DatasetBalancer
+    from leaffliction_tpu.data.scan import count_by_plant_class, scan_dataset
+
+    rng = np.random.default_rng(5)
+    for cls, n in {"healthy": 8, "rust": 3}.items():
+        d = tmp_path / "tree" / "Apple" / cls
+        d.mkdir(parents=True)
+        for i in range(n):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                            ).save(d / f"i{i}.jpg")
+
+    monkeypatch.setenv("LEAF_BALANCE_BACKEND", "host")
+    target = tmp_path / "balanced"
+    balancer = DatasetBalancer(
+        source_dir=tmp_path / "tree", target_dir=target, seed=42,
+        manifest_out_dir=tmp_path / "artifacts")
+    balancer.run()
+
+    counts = count_by_plant_class(scan_dataset(target))
+    assert counts["Apple"] == {"healthy": 8, "rust": 8}
+    aug_files = sorted((target / "Apple" / "rust").glob("*_aug_*.jpg"))
+    assert len(aug_files) == 5
+    manifest = json.loads(
+        (tmp_path / "artifacts" / "manifest_augmented.json").read_text())
+    assert manifest["meta"]["augmented_images"] == 5
