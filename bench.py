@@ -55,6 +55,14 @@ E2E_CLASS_IMGS = (260, 60)  # synthetic tree: big class vs small class
 #                             → 200 generated images (amortizes fixed costs)
 E2E_POOL_TASKS = 48         # tasks for the process-pool PIL baseline
 N_RUNS = 3          # samples per benchmark → med/min/max spread keys
+_DEGRADED = False   # set after the bandwidth probe on slow-link days
+
+
+def _n_runs() -> int:
+    """Samples for LINK-BOUND phases: 1 when the probe saw a degraded link
+    (<5 MB/s d2h) so the compute-bound sections (MFU) still fit inside the
+    watchdog budget; device-resident phases always take N_RUNS."""
+    return 1 if _DEGRADED else N_RUNS
 
 
 def spread(key: str, samples, nd: int = 1) -> dict:
@@ -241,7 +249,7 @@ def bench_e2e_balancer() -> list:
         rng = np.random.default_rng(7)
         n_gen = _make_synthetic_tree(tmp / "src", rng)
         samples = []
-        for run in range(N_RUNS):
+        for run in range(_n_runs()):
             shutil.rmtree(tmp / "out", ignore_errors=True)
             bal = DatasetBalancer(source_dir=tmp / "src",
                                   target_dir=tmp / "out", seed=42,
@@ -450,7 +458,7 @@ def bench_fused_pipeline() -> tuple[list, int, int]:
         n_gen = _make_synthetic_tree(tmp / "src", rng)
         n_orig = sum(E2E_CLASS_IMGS)
         samples = []
-        for run in range(N_RUNS):
+        for run in range(_n_runs()):
             res = balance_to_device(
                 tmp / "src", img_size=IMG, seed=42,
                 target_dir=tmp / f"aug{run}",
@@ -501,7 +509,7 @@ def bench_ref_pipeline() -> list:
                 i += 1
 
         samples = []
-        for run in range(N_RUNS):
+        for run in range(_n_runs()):
             for _, dst, _, _ in tasks:
                 Path(dst).unlink(missing_ok=True)
             with cf.ProcessPoolExecutor(
@@ -570,7 +578,7 @@ def bench_serving() -> dict:
                                     [f"c{i}" for i in range(8)], IMG)
         pred.predict_batch(paths[:8])  # warm/compile
         samples = []
-        for _ in range(N_RUNS):
+        for _ in range(_n_runs()):
             t0 = time.perf_counter()
             results = pred.predict_batch(paths)
             dt = time.perf_counter() - t0
@@ -664,12 +672,21 @@ def main() -> None:
     # link weather first: every other number reads against these
     bw = bench_bandwidth()
     _partial.update(bw)
+    global _DEGRADED
+    _DEGRADED = bw.get("bandwidth_d2h_mbps", 0.0) < 5.0
+    if _DEGRADED:
+        _partial["degraded_link"] = True
     device_samples = bench_device()
     device_ips = statistics.median(device_samples)
     # best-of-2 stabilizes the noisy single-core PIL denominator
     pil_ips = max(bench_pil_baseline(), bench_pil_baseline())
     _partial.update(spread("value", device_samples))
     _partial["vs_baseline"] = round(device_ips / pil_ips, 2)
+    # MFU next: device-resident, weather-independent, and the most
+    # regression-sensitive keys — land them in _partial before the
+    # link-bound phases can eat the watchdog budget on a slow day
+    mfu_keys = bench_train_mfu()
+    _partial.update(mfu_keys)
     fused_samples, n_gen, fused_bytes_up = bench_fused_pipeline()
     fused_ips = statistics.median(fused_samples)
     _partial.update(spread("e2e_img_per_sec", fused_samples))
@@ -707,10 +724,17 @@ def main() -> None:
         "pil_pool_workers": pool_workers,
         "jpeg_e2e_vs_pool": round(jpeg_e2e_ips / pool_ips, 2),
     }
+    if _DEGRADED:
+        result["degraded_link"] = True  # link-bound phases ran 1 sample
+    # which executor the auto backend picked for the JPEG balancer runs
+    from leaffliction_tpu.data.host_augment import last_decision
+
+    if last_decision:
+        result["jpeg_balance_backend"] = last_decision.get("backend")
     _partial.update(result)
     result.update(bench_serving())
     _partial.update(result)
-    result.update(bench_train_mfu())
+    result.update(mfu_keys)
     print(json.dumps(result))
 
 

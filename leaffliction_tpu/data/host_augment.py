@@ -251,6 +251,11 @@ def pick_balance_backend(
     return "device" if device_ips >= host_ips else "host"
 
 
+# Last resolve_backend decision, for observability (bench.py records which
+# executor a balancer run actually used): {"backend", "link_mbps"}.
+last_decision: Dict[str, object] = {}
+
+
 def resolve_backend(tasks, decoded_shapes: Dict,
                     workers: Optional[int] = None) -> str:
     """Resolve LEAF_BALANCE_BACKEND (device|host|auto; default auto).
@@ -260,6 +265,7 @@ def resolve_backend(tasks, decoded_shapes: Dict,
     """
     choice = os.environ.get("LEAF_BALANCE_BACKEND", "auto").lower()
     if choice in ("device", "host"):
+        last_decision.update(backend=choice, link_mbps=None)
         return choice
     if choice != "auto":
         LOGGER.warning("Unknown LEAF_BALANCE_BACKEND=%r; using auto", choice)
@@ -269,6 +275,7 @@ def resolve_backend(tasks, decoded_shapes: Dict,
 
     if jax.default_backend() != "tpu":
         # no host<->device link to lose to: keep the in-process jax path
+        last_decision.update(backend="device", link_mbps=None)
         return "device"
     sizes = []
     for t in tasks:
@@ -287,9 +294,11 @@ def resolve_backend(tasks, decoded_shapes: Dict,
         link = probe_d2h_mbps()
     except Exception as exc:
         LOGGER.warning("d2h probe failed (%s); using host pool", exc)
+        last_decision.update(backend="host", link_mbps=0.0)
         return "host"
     backend = pick_balance_backend(link, avg_mb,
                                    workers or get_optimal_worker_count())
     LOGGER.info("Balance backend auto: d2h %.1f MB/s, avg img %.2f MB "
                 "-> %s", link, avg_mb, backend)
+    last_decision.update(backend=backend, link_mbps=round(link, 1))
     return backend

@@ -651,9 +651,19 @@ def _train_aug_nhwc_kernel(angle_ref, factor_ref, img_ref, out_ref,
     out are plain reshapes of NHWC batches. That is the point: the
     per-plane kernel's surrounding transposes are pure HBM traffic inside
     every train step.
+
+    Canvas dtype (the scratch refs' dtype, chosen by the caller): f32 is
+    bit-stable with the per-plane kernel; bfloat16 halves every barrel
+    roll/select's vector-register count — the kernel is VPU-issue-bound,
+    so this is ~the kernel's cycle count — at a ≤2/255 amplitude error
+    (three bf16 lerps), which a bf16-compute model quantizes to anyway.
+    Row passes 1 and 3 share one set of shift/validity controls (same
+    shear factor ⇒ identical masks; for f32 this is exactly the values
+    the old duplicated computation produced).
     """
     h, w = hw
     ph, pw3 = a_ref.shape
+    cdt = a_ref.dtype
 
     i = pl.program_id(0)
     theta = angle_ref[i] * (math.pi / 180.0)
@@ -667,9 +677,9 @@ def _train_aug_nhwc_kernel(angle_ref, factor_ref, img_ref, out_ref,
     row_bound = int(math.ceil(max_t * (h - 1) / 2.0)) + 1
     col_bound = int(math.ceil(max_s * (w - 1) / 2.0)) + 1
 
-    a_ref[:] = jnp.zeros((ph, pw3), jnp.float32)
+    a_ref[:] = jnp.zeros((ph, pw3), cdt)
     a_ref[0:h, 0:3 * w] = (img_ref[0].astype(jnp.int32).astype(jnp.float32)
-                           / 255.0)
+                           / 255.0).astype(cdt)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (ph, 1), 0).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, pw3), 1)
@@ -681,28 +691,34 @@ def _train_aug_nhwc_kernel(angle_ref, factor_ref, img_ref, out_ref,
     def sel3(v0: Array, v1: Array, v2: Array) -> Array:
         return jnp.where(is_c0, v0, jnp.where(is_c1, v1, v2))
 
-    def row_pass(src: Array, sh: Array) -> Array:
-        g = sh * (rows - cy)                       # [ph, 1] pixel shifts
-        k = jnp.floor(g)
-        _, lo_ok, hi_ok = _scaled_positions(sh, rows - cy, xpix, w - 1.0)
+    # row-pass controls (shared by passes 1 and 3 — same shear factor t):
+    # pixel shifts/lerp weights [ph, 1], validity masks [ph, pw3], and the
+    # biased barrel bit counts
+    g_row = t * (rows - cy)
+    k_row = jnp.floor(g_row)
+    f_row = (g_row - k_row).astype(cdt)
+    _, row_lo, row_hi = _scaled_positions(t, rows - cy, xpix, w - 1.0)
+    row_bias = 1 << max(0, row_bound.bit_length())
+    px_row = (jnp.clip(k_row.astype(jnp.int32), -row_bound, row_bound)
+              + row_bias)
+    row_bits = (row_bias + row_bound).bit_length()
+
+    def row_pass(src: Array) -> Array:
         # clamp edges: channel-c content edge pixel, selected per lane
         e = 3 * (w - 1)
         edge_low = sel3(src[:, 0:1], src[:, 1:2], src[:, 2:3])
         edge_high = sel3(src[:, e:e + 1], src[:, e + 1:e + 2],
                          src[:, e + 2:e + 3])
         # interleaved barrel with the static bias trick, in PIXEL bits
-        bias = 1 << max(0, row_bound.bit_length())
-        px = jnp.clip(k.astype(jnp.int32), -row_bound, row_bound) + bias
-        x = pltpu.roll(src, 3 * bias, 1)           # out[i] = src[i - 3·bias]
-        n_bits = (bias + row_bound).bit_length()
-        for b in range(n_bits):
-            bit_on = ((px >> b) & 1) == 1
+        x = pltpu.roll(src, 3 * row_bias, 1)   # out[i] = src[i - 3·bias]
+        for b in range(row_bits):
+            bit_on = ((px_row >> b) & 1) == 1
             rolled = pltpu.roll(x, (-(3 << b)) % pw3, 1)
             x = jnp.where(bit_on, rolled, x)
-        f = g - k
-        nxt = pltpu.roll(x, (-3) % pw3, 1)         # next PIXEL = +3 lanes
-        out = x * (1.0 - f) + nxt * f
-        return jnp.where(lo_ok, jnp.where(hi_ok, out, edge_high), edge_low)
+        nxt = pltpu.roll(x, (-3) % pw3, 1)     # next PIXEL = +3 lanes
+        out = x * (1.0 - f_row) + nxt * f_row
+        return jnp.where(row_lo, jnp.where(row_hi, out, edge_high),
+                         edge_low)
 
     def col_pass(src: Array, sh: Array) -> Array:
         g = sh * (xpix - cx)                       # [1, pw3] row shifts
@@ -712,33 +728,40 @@ def _train_aug_nhwc_kernel(angle_ref, factor_ref, img_ref, out_ref,
                            0, lo_ok, hi_ok, None, content_dim=h,
                            max_shift=col_bound)
 
-    b_ref[:] = row_pass(a_ref[:], t)
+    b_ref[:] = row_pass(a_ref[:])
     a_ref[:] = col_pass(b_ref[:], s)
-    final = row_pass(a_ref[:], t)
+    final = row_pass(a_ref[:])
 
-    # per-channel RandomContrast means over the content region
-    content = final[0:h, 0:3 * w]
+    # per-channel RandomContrast means over the content region (f32
+    # accumulation regardless of canvas dtype)
+    content = final[0:h, 0:3 * w].astype(jnp.float32)
     m = []
     for c3 in range(3):
         mask = (ch[:, 0:3 * w] == c3).astype(jnp.float32)
         m.append(jnp.sum(content * mask) / float(h * w))
     mean = sel3(m[0], m[1], m[2])
     factor = factor_ref[i]
-    out_ref[0] = (jnp.clip(mean + (final - mean) * factor, 0.0, 1.0)
-                  .astype(out_ref.dtype))
+    out_ref[0] = (jnp.clip(mean + (final.astype(jnp.float32) - mean)
+                           * factor, 0.0, 1.0).astype(out_ref.dtype))
 
 
 @partial(jax.jit, static_argnames=("max_angle_deg", "out_dtype",
-                                   "interpret"))
+                                   "canvas_dtype", "interpret"))
 def train_aug_rotate_contrast_nhwc_pallas(imgs_u8: Array, angles_deg: Array,
                                           factors: Array,
                                           max_angle_deg: float = 18.0,
                                           out_dtype=jnp.float32,
+                                          canvas_dtype=jnp.float32,
                                           interpret: bool = False) -> Array:
     """Interleaved-channel variant of `train_aug_rotate_contrast_pallas`:
     same fused dequant+rotate+contrast math, one program per image, and —
     the point — NO NHWC↔NCHW transposes in the surrounding graph (uint8 in
-    and `out_dtype` out are reshapes of the NHWC batch)."""
+    and `out_dtype` out are reshapes of the NHWC batch).
+
+    `canvas_dtype=jnp.bfloat16` runs the shear passes on bf16 canvases —
+    ~half the VPU work of this issue-bound kernel for a ≤2/255 amplitude
+    error (see `_train_aug_nhwc_kernel`); f32 (default) is bit-stable with
+    the per-plane kernel."""
     n, h, w, c = imgs_u8.shape
     assert c == 3
     ph = _pad_to(h, _SUBLANE)
@@ -762,8 +785,8 @@ def train_aug_rotate_contrast_nhwc_pallas(imgs_u8: Array, angles_deg: Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, ph, pw3), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((ph, pw3), jnp.float32),
-            pltpu.VMEM((ph, pw3), jnp.float32),
+            pltpu.VMEM((ph, pw3), canvas_dtype),
+            pltpu.VMEM((ph, pw3), canvas_dtype),
         ],
         interpret=interpret,
     )(angles1d, factors1d, flat)

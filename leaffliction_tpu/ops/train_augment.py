@@ -104,11 +104,23 @@ def train_augment_u8(
         import os
 
         h, w = batch_u8.shape[1], batch_u8.shape[2]
-        # interleaved footprint = 2 f32 scratch canvases + the (up to f32)
-        # out block, all [pad8(h), pad128(3w)]; same 8 MB gate as
+        # canvas dtype for the shear passes: follow the model's compute
+        # dtype (bf16 canvases ~halve this VPU-issue-bound kernel at a
+        # <=2/255 amplitude error the bf16 model quantizes to anyway);
+        # LEAF_AUG_CANVAS=f32|bf16|out overrides ("out" = follow out_dtype)
+        cv = os.environ.get("LEAF_AUG_CANVAS", "out")
+        canvas_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}.get(
+            cv, jnp.dtype(out_dtype) if cv == "out" else jnp.float32)
+        if canvas_dtype not in (jnp.float32, jnp.bfloat16):
+            canvas_dtype = jnp.float32
+        c_bytes = jnp.dtype(canvas_dtype).itemsize
+        o_bytes = jnp.dtype(out_dtype).itemsize
+        # interleaved footprint = 2 scratch canvases + the out block, all
+        # [pad8(h), pad128(3w)]; same 8 MB gate as
         # ops.augment._rotate_vmem_bytes (beyond it the per-plane kernel's
         # 3x-slower-growing blocks pipeline better)
-        nhwc_scratch = 3 * ((h + 7) // 8 * 8) * ((3 * w + 127) // 128 * 128) * 4
+        nhwc_scratch = ((2 * c_bytes + o_bytes) * ((h + 7) // 8 * 8)
+                        * ((3 * w + 127) // 128 * 128))
         if (os.environ.get("LEAF_PALLAS_TRAIN_AUG", "nhwc") == "nhwc"
                 and nhwc_scratch <= 8 * 1024 * 1024):
             # interleaved-channel variant: no NHWC<->NCHW transposes in
@@ -122,7 +134,7 @@ def train_augment_u8(
             return train_aug_rotate_contrast_nhwc_pallas(
                 flipped, angles, factors,
                 max_angle_deg=rotation_frac * 360.0,
-                out_dtype=out_dtype)
+                out_dtype=out_dtype, canvas_dtype=canvas_dtype)
         from leaffliction_tpu.ops.pallas.rotate import (
             train_aug_rotate_contrast_pallas,
         )

@@ -159,6 +159,34 @@ def test_fused_train_aug_nhwc_kernel_matches_per_plane(hw, out_dtype):
     np.testing.assert_allclose(got, ref, atol=atol)
 
 
+@pytest.mark.parametrize("hw", [(64, 64), (48, 80)])
+def test_fused_train_aug_bf16_canvas_tolerance(hw):
+    """bf16 shear canvases (the train step's fast path for bf16-compute
+    models) stay within a few gray levels of the f32-canvas kernel, and
+    zero-angle/unit-factor stays an exact dequant up to bf16 rounding."""
+    from leaffliction_tpu.ops.pallas.rotate import (
+        train_aug_rotate_contrast_nhwc_pallas,
+    )
+
+    h, w = hw
+    rng = np.random.default_rng(17)
+    imgs = rng.integers(0, 256, (4, h, w, 3), np.uint8)
+    angles = np.array([-17.9, 0.0, 9.3, 17.5], np.float32)
+    factors = np.array([0.92, 1.0, 1.07, 1.1], np.float32)
+
+    ref = np.asarray(train_aug_rotate_contrast_nhwc_pallas(
+        jnp.asarray(imgs), jnp.asarray(angles), jnp.asarray(factors),
+        max_angle_deg=18.0, canvas_dtype=jnp.float32, interpret=True))
+    got = np.asarray(train_aug_rotate_contrast_nhwc_pallas(
+        jnp.asarray(imgs), jnp.asarray(angles), jnp.asarray(factors),
+        max_angle_deg=18.0, canvas_dtype=jnp.bfloat16, interpret=True))
+    # three bf16 lerps + bf16 dequant: a few 1/255 levels of amplitude
+    assert np.abs(got - ref).max() <= 4.5 / 255.0
+    assert np.abs(got - ref).mean() <= 1.0 / 255.0
+    # identity case: bf16 quantization of x/255 only
+    np.testing.assert_allclose(got[1], ref[1], atol=1.0 / 255.0)
+
+
 @pytest.mark.parametrize("variant", ["planar", "nhwc"])
 def test_rotate_bias_trick_matches_unbounded(variant):
     """`max_angle_deg` is a pure barrel-width optimization: with angles
