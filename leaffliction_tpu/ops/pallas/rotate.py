@@ -653,13 +653,15 @@ def _train_aug_nhwc_kernel(angle_ref, factor_ref, img_ref, out_ref,
     every train step.
 
     Canvas dtype (the scratch refs' dtype, chosen by the caller): f32 is
-    bit-stable with the per-plane kernel; bfloat16 halves every barrel
-    roll/select's vector-register count — the kernel is VPU-issue-bound,
-    so this is ~the kernel's cycle count — at a ≤2/255 amplitude error
-    (three bf16 lerps), which a bf16-compute model quantizes to anyway.
+    bit-stable with the per-plane kernel AND the only dtype current
+    Mosaic can lower — `tpu.dynamic_rotate` on bf16 fails to compile on
+    v5e ("Rotate with non-32-bit data: not implemented"), so the bf16
+    halved-vreg experiment is interpret-mode/future-Mosaic only.
     Row passes 1 and 3 share one set of shift/validity controls (same
     shear factor ⇒ identical masks; for f32 this is exactly the values
-    the old duplicated computation produced).
+    the old duplicated computation produced). Measured (v5e, proper
+    scalar-fetch sync, 512-batch amortization): 1.39 ms per 128×224²
+    batch for the full fused dequant+rotate+contrast.
     """
     h, w = hw
     ph, pw3 = a_ref.shape
@@ -759,9 +761,10 @@ def train_aug_rotate_contrast_nhwc_pallas(imgs_u8: Array, angles_deg: Array,
     and `out_dtype` out are reshapes of the NHWC batch).
 
     `canvas_dtype=jnp.bfloat16` runs the shear passes on bf16 canvases —
-    ~half the VPU work of this issue-bound kernel for a ≤2/255 amplitude
-    error (see `_train_aug_nhwc_kernel`); f32 (default) is bit-stable with
-    the per-plane kernel."""
+    a ≤2/255 amplitude error; NOT compilable by current Mosaic on real
+    TPUs (see `_train_aug_nhwc_kernel`), kept for interpret mode and
+    future toolchains. f32 (default) is bit-stable with the per-plane
+    kernel."""
     n, h, w, c = imgs_u8.shape
     assert c == 3
     ph = _pad_to(h, _SUBLANE)

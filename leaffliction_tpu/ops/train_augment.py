@@ -104,15 +104,15 @@ def train_augment_u8(
         import os
 
         h, w = batch_u8.shape[1], batch_u8.shape[2]
-        # canvas dtype for the shear passes: follow the model's compute
-        # dtype (bf16 canvases ~halve this VPU-issue-bound kernel at a
-        # <=2/255 amplitude error the bf16 model quantizes to anyway);
-        # LEAF_AUG_CANVAS=f32|bf16|out overrides ("out" = follow out_dtype)
-        cv = os.environ.get("LEAF_AUG_CANVAS", "out")
-        canvas_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}.get(
-            cv, jnp.dtype(out_dtype) if cv == "out" else jnp.float32)
-        if canvas_dtype not in (jnp.float32, jnp.bfloat16):
-            canvas_dtype = jnp.float32
+        # canvas dtype for the shear passes. bf16 canvases would halve the
+        # barrel's vreg traffic, but current Mosaic cannot lower
+        # `tpu.dynamic_rotate` on non-32-bit data (measured on v5e:
+        # "Rotate with non-32-bit data: not implemented"), so f32 is the
+        # only dtype that COMPILES on hardware today. LEAF_AUG_CANVAS=bf16
+        # keeps the experiment reachable (interpret mode / future Mosaic).
+        # NOTE: read at trace time — set before the first train step.
+        cv = os.environ.get("LEAF_AUG_CANVAS", "f32")
+        canvas_dtype = (jnp.bfloat16 if cv == "bf16" else jnp.float32)
         c_bytes = jnp.dtype(canvas_dtype).itemsize
         o_bytes = jnp.dtype(out_dtype).itemsize
         # interleaved footprint = 2 scratch canvases + the out block, all

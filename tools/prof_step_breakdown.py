@@ -26,7 +26,9 @@ from leaffliction_tpu.train.config import TrainConfig
 from leaffliction_tpu.train.flops import compiled_flops, device_peak_flops
 from leaffliction_tpu.train.steps import build_step_fns, create_train_state
 
-IMG, CHAIN, REPS = 224, 4, 3
+IMG = 224
+CHAIN = int(os.environ.get("AB_CHAIN", "4"))
+REPS = int(os.environ.get("AB_STEP_REPS", "3"))
 
 
 def gen(batch):
@@ -71,15 +73,10 @@ def time_step(make_model, batch, augment=True, samples=4):
 def main_resnet18():
     r18 = lambda: build_resnet(num_classes=8, preset="resnet18",  # noqa: E731
                                dtype=jnp.bfloat16)
-    for label, env, aug in (
-        ("aug, bf16 canvas (default)", None, True),
-        ("aug, f32 canvas", "f32", True),
-        ("no augment", None, False),
-    ):
-        if env is None:
-            os.environ.pop("LEAF_AUG_CANVAS", None)
-        else:
-            os.environ["LEAF_AUG_CANVAS"] = env
+    # NOTE: LEAF_AUG_CANVAS is trace-time — A/B-ing it inside one process
+    # hits the jit cache and silently re-times the first variant. (bf16
+    # canvases don't compile on current Mosaic anyway.)
+    for label, aug in (("with augment", True), ("no augment", False)):
         ms, mfu, gf = time_step(r18, 128, augment=aug)
         print(f"resnet18 b128 {label}: {ms:.2f} ms/step  {mfu:.1f}% MFU"
               f"  ({gf:.0f} GF)", flush=True)
@@ -112,36 +109,40 @@ def main_b32():
 
 
 def main_augab():
+    """Augment kernel alone, f32 vs bf16 canvases. RTT amortization for
+    terrible relay days: R rounds of CHAIN batches inside ONE scan (the
+    chain output feeds the next round's key so nothing is DCE-able),
+    REPS dispatches per sample, one scalar fetch."""
     from leaffliction_tpu.ops.train_augment import train_augment_u8
 
+    rounds = int(os.environ.get("AB_ROUNDS", "64"))
+    reps = int(os.environ.get("AB_REPS", "4"))
     imgs, _, _ = gen(128)
 
     def run(canvas):
         os.environ["LEAF_AUG_CANVAS"] = canvas
 
         @jax.jit
-        def aug_chain(seed, imgs):
-            def body(c, xs):
-                im, i = xs
+        def aug_rounds(seed, imgs):
+            def body(c, i):
                 x = train_augment_u8(
-                    jax.random.fold_in(jax.random.key(c), i), im,
-                    out_dtype=jnp.bfloat16)
+                    jax.random.fold_in(jax.random.key(c), i),
+                    imgs[i % CHAIN], out_dtype=jnp.bfloat16)
                 return c + jnp.sum(x[0, 0, 0, :2].astype(jnp.int32)), None
-            c, _ = jax.lax.scan(body, seed,
-                                (imgs, jnp.arange(imgs.shape[0])))
+            c, _ = jax.lax.scan(body, seed, jnp.arange(rounds))
             return c
 
-        c = aug_chain(jnp.int32(0), imgs)
-        c.block_until_ready()
+        c = aug_rounds(jnp.int32(0), imgs)
+        assert np.isfinite(float(c))   # scalar fetch: the only honest sync
         best = 1e9
-        for _ in range(4):
+        for _ in range(3):
             t0 = time.perf_counter()
-            for _ in range(REPS):
-                c = aug_chain(c, imgs)
-            c.block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / (REPS * CHAIN))
-        print(f"augment b128 canvas={canvas}: {best*1e3:.2f} ms/batch",
-              flush=True)
+            for _ in range(reps):
+                c = aug_rounds(c, imgs)
+            assert np.isfinite(float(c))
+            best = min(best, (time.perf_counter() - t0) / (reps * rounds))
+        print(f"augment b128 canvas={canvas}: {best*1e3:.2f} ms/batch"
+              f"  ({reps}x{rounds} batches/sample)", flush=True)
 
     run("f32")
     run("bf16")
