@@ -372,19 +372,24 @@ def bench_train_mfu() -> dict:
     cfg = TrainConfig.regularized()
     out: dict = {}
 
+    # chain=16 everywhere: per-dispatch client overhead on the relay is
+    # 30-140+ ms, so shallow chains inflate ms/step (chain-4 measured
+    # resnet18 at 18.7 ms/step where chain-16 measures 16.6 — the
+    # difference is dispatch time, not model compute). 16 batches of
+    # uint8 pixels per config stay ~100-310 MB in HBM.
     configs = (
         ("leafcnn_b32",
          lambda: build_leafcnn(num_classes=8, scale="base",
-                               dtype=jnp.bfloat16), 32, 8),
+                               dtype=jnp.bfloat16), 32, 16),
         ("leafcnn_b128",
          lambda: build_leafcnn(num_classes=8, scale="base",
-                               dtype=jnp.bfloat16), 128, 4),
+                               dtype=jnp.bfloat16), 128, 16),
         ("resnet18_b128",
          lambda: build_resnet(num_classes=8, preset="resnet18",
-                              dtype=jnp.bfloat16), 128, 4),
+                              dtype=jnp.bfloat16), 128, 16),
         ("resnet18_s2d_b128",
          lambda: build_resnet(num_classes=8, preset="resnet18", stem="s2d",
-                              dtype=jnp.bfloat16), 128, 4),
+                              dtype=jnp.bfloat16), 128, 16),
     )
     for tag, make_model, batch, chain in configs:
         try:
