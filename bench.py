@@ -390,6 +390,12 @@ def bench_train_mfu() -> dict:
         ("resnet18_s2d_b128",
          lambda: build_resnet(num_classes=8, preset="resnet18", stem="s2d",
                               dtype=jnp.bfloat16), 128, 16),
+        # engineering datapoint for the b32 wall (72% of the b32 step is
+        # stage-1 work at 224² — xplane breakdown in docs/performance.md):
+        # the opt-in s2d stem (--stem s2d) quarters stage-1 area
+        ("leafcnn_s2d_b32",
+         lambda: build_leafcnn(num_classes=8, scale="base", stem="s2d",
+                               dtype=jnp.bfloat16), 32, 16),
     )
     for tag, make_model, batch, chain in configs:
         try:
@@ -443,6 +449,88 @@ def bench_train_mfu() -> dict:
     if "mfu_pct_resnet18_b128" in out:
         out["train_mfu_pct"] = out["mfu_pct_resnet18_b128"]
         out["train_img_per_sec"] = out["img_per_sec_resnet18_b128"]
+    return out
+
+
+def bench_north_star_train() -> dict:
+    """North-star TRAIN-side wall time, device-resident (link-independent).
+
+    leafcnn-base @224 bf16, 20 epochs incl. per-epoch whole-val-set eval
+    over a balanced 8-class 2080-image dataset born in device HBM (the
+    fused `--balance-from` end state), driven by the PRODUCTION `fit()`
+    loop (gather steps, chained dispatch, EMA, plateau logic) — at the
+    reference-default b32 and at b128, the documented throughput config
+    (accuracy-parity evidence: tools/parity_b128.py table in
+    docs/performance.md). Compiles are warmed by a 1-epoch run first so
+    the number is steady-state train wall, not compile weather.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return {}
+
+    from leaffliction_tpu.data.loader import BatchIterator, DeviceImageStore
+    from leaffliction_tpu.models.leafcnn import build_leafcnn
+    from leaffliction_tpu.parallel.mesh import MeshSpec, make_mesh
+    from leaffliction_tpu.train.config import TrainConfig
+    from leaffliction_tpu.train.steps import build_step_fns, create_train_state
+    from leaffliction_tpu.train.trainer import fit
+
+    N_TRAIN, N_VAL, EPOCHS = 2080, 320, 20
+
+    @jax.jit
+    def gen(seed, n):
+        key = jax.random.key(seed)
+        labels = jnp.arange(n, dtype=jnp.int32) % 8
+        yy = jax.lax.broadcasted_iota(jnp.float32, (IMG, IMG), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (IMG, IMG), 1)
+        base = jnp.stack([xx % 251, yy % 241, (xx + yy) % 253], -1)
+        shift = (labels % 8 * 13).astype(jnp.float32)[:, None, None, None]
+        noise = jax.random.normal(key, (n, IMG, IMG, 3)) * 8.0
+        imgs = jnp.clip(base[None] + shift + noise, 0, 255).astype(jnp.uint8)
+        return imgs, labels
+
+    out: dict = {}
+    mesh = make_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    cfg = TrainConfig.regularized()
+    train_dd = jax.block_until_ready(gen(0, N_TRAIN))
+    val_dd = jax.block_until_ready(gen(1, N_VAL))
+    train_store = DeviceImageStore(np.arange(N_TRAIN, dtype=np.int32) % 8,
+                                   IMG)
+    val_store = DeviceImageStore(np.arange(N_VAL, dtype=np.int32) % 8, IMG)
+
+    for batch in (32, 128):
+        try:
+            model = build_leafcnn(num_classes=8, scale="base",
+                                  dtype=jnp.bfloat16)
+            train_iter = BatchIterator(train_store, batch, shuffle=True,
+                                       seed=42)
+            val_iter = BatchIterator(val_store, batch, shuffle=False)
+            total = train_iter.steps_per_epoch() * EPOCHS
+            fns = build_step_fns(model, cfg, 8, total_steps=total, mesh=mesh)
+            # warm every program (train chains, remainder chain, eval chain)
+            state = create_train_state(model, cfg, img_size=IMG, seed=0)
+            fit(fns, state, train_iter, val_iter, cfg, epochs=1, seed=42,
+                chain_steps=8, train_device_data=train_dd,
+                val_device_data=val_dd)
+            state = create_train_state(model, cfg, img_size=IMG, seed=0)
+            t0 = time.perf_counter()
+            res = fit(fns, state, train_iter, val_iter, cfg, epochs=EPOCHS,
+                      seed=42, chain_steps=8, train_device_data=train_dd,
+                      val_device_data=val_dd)
+            wall = time.perf_counter() - t0
+            out[f"north_star_train_s_b{batch}"] = round(wall, 1)
+            out[f"north_star_img_per_sec_b{batch}"] = round(
+                N_TRAIN * res.epochs_ran / wall, 1)
+        except Exception as exc:
+            out[f"error_north_star_b{batch}"] = str(exc)[:120]
+    if "north_star_train_s_b32" in out and "north_star_train_s_b128" in out:
+        out["north_star_b128_speedup"] = round(
+            out["north_star_train_s_b32"] / out["north_star_train_s_b128"], 2)
+        out["north_star_b128_note"] = (
+            "b128 + scaled lr matches b32 val accuracy "
+            "(tools/parity_b128.py; docs/performance.md parity table)")
     return out
 
 
@@ -692,6 +780,10 @@ def main() -> None:
     # link-bound phases can eat the watchdog budget on a slow day
     mfu_keys = bench_train_mfu()
     _partial.update(mfu_keys)
+    # north-star train wall (device-resident, production fit() loop):
+    # the b32-vs-b128 A/B the default-config decision rests on
+    ns_keys = bench_north_star_train()
+    _partial.update(ns_keys)
     fused_samples, n_gen, fused_bytes_up = bench_fused_pipeline()
     fused_ips = statistics.median(fused_samples)
     _partial.update(spread("e2e_img_per_sec", fused_samples))
@@ -740,6 +832,7 @@ def main() -> None:
     result.update(bench_serving())
     _partial.update(result)
     result.update(mfu_keys)
+    result.update(ns_keys)
     print(json.dumps(result))
 
 
