@@ -479,7 +479,9 @@ def bench_north_star_train() -> dict:
 
     N_TRAIN, N_VAL, EPOCHS = 2080, 320, 20
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(1,))
     def gen(seed, n):
         key = jax.random.key(seed)
         labels = jnp.arange(n, dtype=jnp.int32) % 8
