@@ -459,9 +459,10 @@ def bench_north_star_train() -> dict:
     over a balanced 8-class 2080-image dataset born in device HBM (the
     fused `--balance-from` end state), driven by the PRODUCTION `fit()`
     loop (gather steps, chained dispatch, EMA, plateau logic) — at the
-    reference-default b32 and at b128, the documented throughput config
-    (accuracy-parity evidence: tools/parity_b128.py table in
-    docs/performance.md). Compiles are warmed by a 1-epoch run first so
+    reference-default b32 and at b128, the documented throughput recipe
+    (which needs sqrt-scaled lr + an update-matched epoch budget to hold
+    accuracy: tools/parity_b128.py table in docs/performance.md).
+    Compiles are warmed by a 1-epoch run first so
     the number is steady-state train wall, not compile weather.
     """
     import jax
@@ -531,7 +532,9 @@ def bench_north_star_train() -> dict:
         out["north_star_b128_speedup"] = round(
             out["north_star_train_s_b32"] / out["north_star_train_s_b128"], 2)
         out["north_star_b128_note"] = (
-            "b128 + scaled lr matches b32 val accuracy "
+            "b128 + sqrt-scaled lr at an update-matched epoch budget "
+            "matches b32 val accuracy in 0.64x the wall; epoch-matched "
+            "b128 undertrains, so b32 stays the default "
             "(tools/parity_b128.py; docs/performance.md parity table)")
     return out
 
