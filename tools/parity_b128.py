@@ -17,6 +17,19 @@ blobs whose hue / spot count / background are class-coded — learnable at
 time per config. Results belong in docs/performance.md and BASELINE.md; the
 bench's `north_star_*_b128` keys cite them.
 
+Measured 2026-08-19 (live v5e, --per-class 220 = north-star scale):
+
+    --epochs 20:  b32/2e-3 -> 1.0000 in 280.9 s (the reference default);
+                  b128/4e-3 -> 0.2131; b128/8e-3 -> 0.4034 (undertrained:
+                  220 optimizer updates vs b32's 880)
+    --epochs 86 --configs 128:4e-3,128:8e-3 (update-matched budget):
+                  b128/4e-3 -> 1.0000 in 179.2 s, early-stopped at 64
+                  (0.64x b32's wall at identical accuracy);
+                  b128/8e-3 -> 0.4773 (linear lr scaling diverges)
+
+Conclusion acted on: b32 stays the default; the throughput recipe is
+`--batch-size 128 --lr 4e-3` with ~4x the epoch budget + early stop.
+
 Usage (real TPU):  python tools/parity_b128.py [--epochs 20] [--per-class 60]
 """
 
