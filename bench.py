@@ -640,7 +640,13 @@ def bench_serving() -> dict:
     """Serving throughput: decode→preprocess→infer over a directory of
     JPEGs — the reference's batch-predict semantics
     (`srcs/predict/predictor.py:82-147`), via the real `Predictor` pipeline
-    (chunked batched C++ decode overlapping device dispatch)."""
+    (chunked batched C++ decode overlapping device dispatch).
+
+    Besides the link-sensitive end-to-end number, emits two link-INDEPENDENT
+    stage keys — `serving_decode_img_per_sec` (host C++ JPEG decode) and
+    `serving_infer_img_per_sec` (device forward on an HBM-resident chunk) —
+    so a drop in the e2e headline can be attributed to code vs relay
+    weather from the JSON alone."""
     import shutil
     import tempfile
     from pathlib import Path
@@ -682,8 +688,38 @@ def bench_serving() -> dict:
             dt = time.perf_counter() - t0
             assert len(results) == n
             samples.append(n / dt)
+        # Stage decomposition, link-INDEPENDENT (round-3 weak #7: the e2e
+        # number alone cannot tell a code regression from a bad relay day;
+        # these two keys pin the host and device stages separately):
+        # 1. host C++ JPEG decode throughput over the same 256 paths
+        decode_samples = []
+        for _ in range(_n_runs()):
+            t0 = time.perf_counter()
+            arrays, ok = Predictor._decode_chunk(paths, IMG)
+            dt = time.perf_counter() - t0
+            assert arrays.shape[0] == n and bool(np.all(ok))
+            decode_samples.append(n / dt)
+        # 2. pure device inference on an ALREADY-UPLOADED serving chunk
+        #    (uint8 [64,S,S,3] resident in HBM; only the [64,8] probs ride
+        #    the link back — sync by fetching them, block_until_ready lies
+        #    on the relay)
+        from leaffliction_tpu.predict.predictor import SERVING_BATCH
+
+        dev_chunk = jax.device_put(arrays[:SERVING_BATCH])
+        np.asarray(jax.device_get(pred._infer(dev_chunk)))  # warm
+        infer_samples = []
+        n_disp = max(1, n // SERVING_BATCH)
+        for _ in range(_n_runs()):
+            t0 = time.perf_counter()
+            pend = [pred._infer(dev_chunk) for _ in range(n_disp)]
+            for p in pend:
+                np.asarray(jax.device_get(p))
+            dt = time.perf_counter() - t0
+            infer_samples.append(n_disp * SERVING_BATCH / dt)
         # host→device pixel traffic per run (what rides the relay)
         return {**spread("serving_img_per_sec", samples),
+                **spread("serving_decode_img_per_sec", decode_samples),
+                **spread("serving_infer_img_per_sec", infer_samples),
                 "serving_bytes_up": n * IMG * IMG * 3}
     except Exception as exc:
         return {"serving_error": str(exc)[:120]}
