@@ -219,19 +219,46 @@ def execute_tasks_host(tasks, root_seed: int,
     return completed, failed
 
 
-def probe_d2h_mbps(nbytes: int = 4 * 1024 * 1024) -> float:
-    """Measure device→host bandwidth with one array fetch (MB/s)."""
+def probe_d2h_mbps(nbytes: int = 4 * 1024 * 1024, n_probes: int = 3) -> float:
+    """Measure device→host bandwidth (MB/s): median of `n_probes` fetches
+    of an INCOMPRESSIBLE random buffer.
+
+    Three probe traps, all measured on the relay before this shape:
+    - The relay client caches an array's value host-side after its FIRST
+      fetch: re-fetching the same buffer measures 19-34 GB/s on a link
+      whose real download bandwidth is ~12-25 MB/s (a median over repeat
+      fetches of one array is therefore the cache, not the link, and made
+      `auto` pick the device path for a run that lost 4x to the host
+      pool). Every sample here fetches a FRESH computed array.
+    - An all-zeros buffer is compressible by the transport; augmented
+      pixels are JPEG-grade entropy. Probe with random bytes.
+    - The link is bimodal (9-32 MB/s swings within one bench run); a
+      single probe catching a fast burst flips the decision for a run that
+      then rides the slow median. Median-of-3 costs ~1 s extra on a
+      10 MB/s link and tracks what the bulk download will actually see.
+    """
+    import statistics
     import time
 
     import jax
     import jax.numpy as jnp
 
-    x = jnp.zeros((nbytes,), jnp.uint8)
-    x.block_until_ready()
-    t0 = time.perf_counter()
-    np.asarray(jax.device_get(x))
-    dt = time.perf_counter() - t0
-    return nbytes / (1024.0 * 1024.0) / max(dt, 1e-9)
+    buf = np.random.default_rng(0).integers(0, 255, (nbytes,), np.uint8)
+    x = jax.device_put(buf)
+    # force the upload with a scalar round trip (block_until_ready lies on
+    # the relay) so queued async work doesn't pollute the first sample
+    assert int(jnp.sum(x[:16].astype(jnp.int32))) >= 0
+    samples = []
+    for i in range(max(n_probes, 1)):
+        # fresh value each round — same entropy, never fetched before —
+        # synced the same way so the timed region is download only
+        y = x ^ jnp.uint8(i + 1)
+        assert int(jnp.sum(y[:16].astype(jnp.int32))) >= 0
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(y))
+        dt = time.perf_counter() - t0
+        samples.append(nbytes / (1024.0 * 1024.0) / max(dt, 1e-9))
+    return statistics.median(samples)
 
 
 def pick_balance_backend(

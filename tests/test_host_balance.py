@@ -35,6 +35,24 @@ def test_pick_balance_backend_thresholds():
     assert pick_balance_backend(50.0, 0.2, 4) == "host"
 
 
+def test_probe_d2h_mbps_is_median_of_probes(monkeypatch):
+    """One fast burst must not flip the backend decision: the probe takes
+    the MEDIAN of its samples (the relay link is bimodal; a single probe
+    catching 32 MB/s once picked the device path for a run that then rode
+    the 10 MB/s median and lost 4x to the host pool)."""
+    import time
+
+    from leaffliction_tpu.data import host_augment
+
+    # fake clock: probe dts of 0.004 s, 0.4 s, 0.333 s over 4 MiB
+    # -> bandwidths [1000, 10, ~12] MB/s -> median ~12 (mean would be ~341,
+    # first-sample would be 1000)
+    ticks = iter([0.0, 0.004, 10.0, 10.4, 20.0, 20.333])
+    monkeypatch.setattr(time, "perf_counter", lambda: next(ticks))
+    mbps = host_augment.probe_d2h_mbps()
+    assert mbps == pytest.approx(4 / 0.333, rel=1e-3)
+
+
 def test_param_stream_matches_device_kernels():
     """Angles/shears drawn by the host backend equal the device kernels'
     draws for the same root seed + task seeds."""
