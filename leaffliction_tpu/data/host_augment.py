@@ -192,6 +192,7 @@ def execute_tasks_host(tasks, root_seed: int,
     """
     import concurrent.futures as cf
     import multiprocessing as mp
+    from concurrent.futures.process import BrokenProcessPool
 
     from leaffliction_tpu.core.sysinfo import get_optimal_worker_count
 
@@ -203,19 +204,35 @@ def execute_tasks_host(tasks, root_seed: int,
     args = [(str(t.source_img), str(t.output_path), p, t.task_seed,
              strict_wrap) for t, p in zip(tasks, params)]
     completed = failed = 0
-    # spawn: forking after JAX initialized its thread pools can deadlock
-    with cf.ProcessPoolExecutor(
-            max_workers=workers,
-            mp_context=mp.get_context("spawn")) as pool:
-        for i, ok in enumerate(pool.map(_apply_host_task, args,
-                                        chunksize=16)):
-            if ok:
-                completed += 1
-            else:
-                failed += 1
-            if (i + 1) % 500 == 0:
-                LOGGER.info("Progress: %d/%d (%.1f%%)", i + 1, len(args),
-                            100.0 * (i + 1) / max(len(args), 1))
+    try:
+        # spawn: forking after JAX initialized its thread pools can deadlock
+        with cf.ProcessPoolExecutor(
+                max_workers=workers,
+                mp_context=mp.get_context("spawn")) as pool:
+            for i, ok in enumerate(pool.map(_apply_host_task, args,
+                                            chunksize=16)):
+                if ok:
+                    completed += 1
+                else:
+                    failed += 1
+                if (i + 1) % 500 == 0:
+                    LOGGER.info("Progress: %d/%d (%.1f%%)", i + 1, len(args),
+                                100.0 * (i + 1) / max(len(args), 1))
+    except BrokenProcessPool:
+        # spawn re-imports __main__; an unimportable parent (stdin script,
+        # embedded interpreter, frozen app) kills every worker at startup.
+        # The tasks are pure PIL/NumPy — rerun them in a thread pool (PIL
+        # decode/encode release the GIL) rather than failing the balance.
+        LOGGER.warning(
+            "Host augment process pool broke (unimportable __main__?); "
+            "retrying the %d tasks on a thread pool", len(args))
+        completed = failed = 0
+        with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            for ok in pool.map(_apply_host_task, args):
+                if ok:
+                    completed += 1
+                else:
+                    failed += 1
     return completed, failed
 
 

@@ -35,6 +35,42 @@ def test_pick_balance_backend_thresholds():
     assert pick_balance_backend(50.0, 0.2, 4) == "host"
 
 
+def test_execute_tasks_host_survives_broken_pool(tmp_path, monkeypatch):
+    """spawn re-imports __main__; when that import fails (stdin scripts,
+    embedded interpreters) every worker dies at startup. The host backend
+    must fall back to a thread pool instead of failing the balance run."""
+    import concurrent.futures as cf
+
+    from leaffliction_tpu.data import host_augment
+    from leaffliction_tpu.data.balancer import AugTask
+
+    src = tmp_path / "img.jpg"
+    Image.fromarray(np.random.default_rng(3).integers(
+        0, 255, (32, 32, 3)).astype(np.uint8)).save(src, quality=95)
+    tasks = [AugTask(source_img=src, output_path=tmp_path / f"o{i}.jpg",
+                     transform="flip", task_seed=100 + i) for i in range(3)]
+
+    class _BrokenPool:
+        def __init__(self, *a, **k):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def map(self, *a, **k):
+            raise cf.process.BrokenProcessPool("worker died at startup")
+
+    monkeypatch.setattr(cf, "ProcessPoolExecutor", _BrokenPool)
+    done, failed = host_augment.execute_tasks_host(tasks, root_seed=42,
+                                                   workers=2)
+    assert (done, failed) == (3, 0)
+    for t in tasks:
+        assert t.output_path.exists()
+
+
 def test_probe_d2h_mbps_is_median_of_probes(monkeypatch):
     """One fast burst must not flip the backend decision: the probe takes
     the MEDIAN of its samples (the relay link is bimodal; a single probe
