@@ -278,6 +278,40 @@ def probe_d2h_mbps(nbytes: int = 4 * 1024 * 1024, n_probes: int = 3) -> float:
     return statistics.median(samples)
 
 
+def measure_host_ips(sample_path, n_samples: int = 3) -> float:
+    """Measure THIS host's single-worker PIL throughput (img/s) with one
+    real task shape: decode `sample_path` → rotate-expand → JPEG-encode.
+
+    A constant estimate can't be honest across hosts (this box measures
+    ~300 img/s/worker at 224px; a loaded or slower one much less), and the
+    backend decision is only as good as both sides of the comparison —
+    the link probe is measured, so the host side must be too. Costs a few
+    ms per sample; median of `n_samples` (the first warms the file cache).
+    Falls back to PER_WORKER_IPS when the sample can't be processed.
+    """
+    import io
+    import statistics
+    import time
+
+    try:
+        from PIL import Image
+
+        samples = []
+        for _ in range(max(n_samples, 1)):
+            t0 = time.perf_counter()
+            with Image.open(sample_path) as im:
+                img = im.convert("RGB")
+            img = img.rotate(17.0, expand=True, fillcolor="white")
+            buf = io.BytesIO()
+            img.save(buf, "JPEG", quality=95)
+            samples.append(1.0 / max(time.perf_counter() - t0, 1e-9))
+        return statistics.median(samples)
+    except Exception as exc:
+        LOGGER.warning("host-throughput sample failed (%s); assuming "
+                       "%.0f img/s/worker", exc, PER_WORKER_IPS)
+        return PER_WORKER_IPS
+
+
 def pick_balance_backend(
     link_mbps: float,
     avg_img_mb: float,
@@ -340,9 +374,19 @@ def resolve_backend(tasks, decoded_shapes: Dict,
         LOGGER.warning("d2h probe failed (%s); using host pool", exc)
         last_decision.update(backend="host", link_mbps=0.0)
         return "host"
-    backend = pick_balance_backend(link, avg_mb,
-                                   workers or get_optimal_worker_count())
-    LOGGER.info("Balance backend auto: d2h %.1f MB/s, avg img %.2f MB "
-                "-> %s", link, avg_mb, backend)
-    last_decision.update(backend=backend, link_mbps=round(link, 1))
+    # measure the host side with one real task shape too — a constant
+    # per-worker estimate was off 2x on this host and biased every
+    # borderline decision toward the slower path
+    host_ips = PER_WORKER_IPS
+    for t in tasks:
+        if t.source_img in decoded_shapes or os.path.exists(t.source_img):
+            host_ips = measure_host_ips(t.source_img)
+            break
+    n_workers = workers or get_optimal_worker_count()
+    backend = pick_balance_backend(link, avg_mb, n_workers, host_ips)
+    LOGGER.info("Balance backend auto: d2h %.1f MB/s, avg img %.2f MB, "
+                "host %.0f img/s x %d workers -> %s",
+                link, avg_mb, host_ips, n_workers, backend)
+    last_decision.update(backend=backend, link_mbps=round(link, 1),
+                         host_ips=round(host_ips, 1))
     return backend

@@ -35,6 +35,20 @@ def test_pick_balance_backend_thresholds():
     assert pick_balance_backend(50.0, 0.2, 4) == "host"
 
 
+def test_measure_host_ips(tmp_path):
+    """Real sample → measured rate; unreadable sample → the constant
+    fallback (the auto decision must never crash on a bad first task)."""
+    from leaffliction_tpu.data.host_augment import (PER_WORKER_IPS,
+                                                    measure_host_ips)
+
+    p = tmp_path / "s.jpg"
+    Image.fromarray(np.random.default_rng(1).integers(
+        0, 255, (64, 64, 3)).astype(np.uint8)).save(p, quality=95)
+    ips = measure_host_ips(p)
+    assert ips > 0 and np.isfinite(ips)
+    assert measure_host_ips(tmp_path / "missing.jpg") == PER_WORKER_IPS
+
+
 def test_execute_tasks_host_survives_broken_pool(tmp_path, monkeypatch):
     """spawn re-imports __main__; when that import fails (stdin scripts,
     embedded interpreters) every worker dies at startup. The host backend
