@@ -39,10 +39,10 @@ from leaffliction_tpu.core.logging import get_logger
 
 LOGGER = get_logger(__name__)
 
-# Conservative per-worker PIL throughput (img/s) at ~256px used by the
-# `auto` backend decision. Measured on this host: 268 img/s for one worker
-# (`bench.py bench_pil_pool_baseline`); 150 keeps the decision biased
-# toward the device path on fast links.
+# Fallback per-worker PIL throughput (img/s) at ~256px for the `auto`
+# backend decision, used only when `measure_host_ips` cannot sample a real
+# task (unreadable first source). Conservative on purpose: ~half of what
+# one worker measured on this host (268 img/s).
 PER_WORKER_IPS = 150.0
 
 
