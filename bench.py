@@ -869,6 +869,10 @@ def main() -> None:
 
     if last_decision:
         result["jpeg_balance_backend"] = last_decision.get("backend")
+        if last_decision.get("link_mbps") is not None:
+            result["jpeg_balance_link_mbps"] = last_decision["link_mbps"]
+        if last_decision.get("host_ips") is not None:
+            result["jpeg_balance_host_ips"] = last_decision["host_ips"]
     _partial.update(result)
     result.update(bench_serving())
     _partial.update(result)
