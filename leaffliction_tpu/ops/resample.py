@@ -51,13 +51,19 @@ def _cubic(d: Array) -> Array:
 
 def _lanczos3(d: Array) -> Array:
     """6-tap Lanczos (PIL LANCZOS, used by the reference's resize-back after
-    crop, `image_augmenter.py:96-114`). sinc(d)·sinc(d/3) on |d| < 3."""
-    pd = jnp.pi * d
-    # sinc with the removable singularity at 0 handled exactly
-    safe = jnp.where(jnp.abs(d) < 1e-7, 1.0, pd)
-    sinc1 = jnp.where(jnp.abs(d) < 1e-7, 1.0, jnp.sin(safe) / safe)
-    safe3 = jnp.where(jnp.abs(d) < 1e-7, 1.0, pd / 3.0)
-    sinc3 = jnp.where(jnp.abs(d) < 1e-7, 1.0, jnp.sin(safe3) / safe3)
+    crop, `image_augmenter.py:96-114`). sinc(d)·sinc(d/3) on |d| < 3.
+
+    One transcendental, not two: with u = πd/3, the triple-angle identity
+    sin(3u) = sin(u)·(3 − 4·sin²u) yields sinc(d) from the same sin(u) that
+    gives sinc(d/3). The weight build is the VPU-bound part of the crop op
+    (evaluated over the full [K, out] grid before XLA fuses it into the
+    matmul), so halving the sin count cuts the op's cost measurably."""
+    tiny = jnp.abs(d) < 1e-7
+    u = jnp.where(tiny, 1.0, jnp.pi * d / 3.0)  # πd/3, singularity guarded
+    su = jnp.sin(u)
+    sinc3 = jnp.where(tiny, 1.0, su / u)
+    s3u = su * (3.0 - 4.0 * su * su)            # sin(3u) = sin(πd)
+    sinc1 = jnp.where(tiny, 1.0, s3u / (3.0 * u))
     return jnp.where(jnp.abs(d) < 3.0, sinc1 * sinc3, 0.0)
 
 
