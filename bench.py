@@ -35,7 +35,13 @@ device_put/device_get probe) and per-phase `*_bytes_*` keys record what the
 relay was doing, so a bad driver day is visible in the JSON itself rather
 than masquerading as a regression.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Output contract (round-5 fix — the round-4 all-keys line outgrew the
+driver's ~2 KB tail capture and the authoritative record lost the headline):
+the FULL result dict is written to `bench_results.json` beside this script
+and echoed to stderr; stdout carries exactly ONE compact (<1.5 KB) JSON line
+holding the headline keys the driver must record — metric/value(+spread),
+vs_baseline, e2e ratio, serving e2e + stage rates, MFU set, north-star
+walls, link probes. `_COMPACT_KEYS` is the curated list.
 """
 
 from __future__ import annotations
@@ -56,6 +62,60 @@ E2E_CLASS_IMGS = (260, 60)  # synthetic tree: big class vs small class
 E2E_POOL_TASKS = 48         # tasks for the process-pool PIL baseline
 N_RUNS = 3          # samples per benchmark → med/min/max spread keys
 _DEGRADED = False   # set after the bandwidth probe on slow-link days
+
+
+# Keys the driver's record must contain, in priority order: if the line
+# somehow exceeds the budget, keys are dropped from the END of this list
+# (the metric/value headline always survives). Everything else still lands
+# in bench_results.json + stderr.
+_COMPACT_KEYS = (
+    "metric", "value", "value_min", "value_max", "unit", "vs_baseline",
+    "e2e_img_per_sec", "e2e_vs_pool_baseline",
+    "serving_img_per_sec", "serving_img_per_sec_min", "serving_img_per_sec_max",
+    "serving_decode_img_per_sec", "serving_upload_img_per_sec",
+    "serving_infer_img_per_sec",
+    "mfu_pct_resnet18_b128", "mfu_pct_resnet18_s2d_b128",
+    "mfu_pct_leafcnn_b32", "mfu_pct_leafcnn_s2d_b32", "mfu_pct_leafcnn_b128",
+    "north_star_train_s_b32", "north_star_train_s_b128", "north_star_e2e_s",
+    "bandwidth_h2d_mbps", "bandwidth_d2h_mbps", "link_rtt_ms",
+    "ref_pipeline_img_per_sec", "e2e_jpeg_img_per_sec",
+    "ms_per_step_leafcnn_b32", "ms_per_step_resnet18_b128",
+    "degraded_link",
+)
+_COMPACT_BUDGET = 1500  # bytes; driver tail capture is ~2 KB
+
+
+def emit_final(result: dict) -> None:
+    """The ONE stdout line + the full record. Full dict → bench_results.json
+    (beside this script) and stderr; stdout gets only the compact headline
+    line, trimmed to `_COMPACT_BUDGET` so the driver's tail window always
+    holds a complete, parseable JSON object."""
+    import os
+
+    full = json.dumps(result)
+    try:
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_results.json")
+        with open(out_path, "w") as f:
+            f.write(full + "\n")
+    except OSError as exc:
+        result = {**result, "full_results_error": str(exc)[:80]}
+    print(full, file=sys.stderr, flush=True)
+    compact = {k: result[k] for k in _COMPACT_KEYS if k in result}
+    # error keys are rare but must reach the driver record when present
+    for k, v in result.items():
+        if "error" in k:
+            compact[k] = v
+    compact["full_results"] = "bench_results.json"
+    line = json.dumps(compact)
+    while len(line) > _COMPACT_BUDGET and len(compact) > 4:
+        for k in reversed(list(compact)):
+            if k not in ("metric", "value", "unit", "vs_baseline"):
+                del compact[k]
+                break
+        line = json.dumps(compact)
+    print(line)
+    sys.stdout.flush()
 
 
 def _n_runs() -> int:
@@ -539,6 +599,79 @@ def bench_north_star_train() -> dict:
     return out
 
 
+def bench_north_star_e2e() -> dict:
+    """The ONE-COMMAND north star, timed end-to-end (round-4 weak #6: the
+    whole `--balance-from` command was last timed in round 3 at 221 s).
+
+    Synthesizes the BASELINE north-star tree shape — an unbalanced 8-class
+    tree, 1530 originals → 1760 after balancing, 256² natives (the
+    reference dataset's native resolution) — then runs the real CLI
+    in-process, once:
+
+        leaffliction-train --balance-from <tree> --epochs 20
+                           --img-size 224 --scale base
+
+    The wall includes everything the user pays: decode, relay upload,
+    on-device augmentation, split, 20 epochs with per-epoch eval, artifact
+    writes, and the default-on `.keras` export. Single sample (it is a
+    multi-minute phase); the link probe block beside it tells a slow-relay
+    day from a code regression. Skipped when the probe saw a degraded link.
+    """
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import jax
+
+    if jax.default_backend() != "tpu" or _DEGRADED:
+        return {}
+
+    from PIL import Image
+
+    NATIVE = 256
+    # 8 classes, sum 1530, max 220 → balanced 8*220 = 1760
+    counts = (220, 200, 200, 195, 190, 185, 180, 160)
+    tmp = Path(tempfile.mkdtemp(prefix="bench-ns-e2e-"))
+    cwd = os.getcwd()
+    try:
+        rng = np.random.default_rng(5)
+        yy, xx = np.mgrid[0:NATIVE, 0:NATIVE].astype(np.float32)
+        base = np.stack([xx % 251, yy % 241, (xx + yy) % 253], -1)
+        for plant, offset in (("Apple", 0), ("Grape", 4)):
+            for ci in range(4):
+                d = tmp / "tree" / plant / f"class{offset + ci}"
+                d.mkdir(parents=True, exist_ok=True)
+                shift = (offset + ci) * 13.0
+                for i in range(counts[offset + ci]):
+                    arr = (base + shift
+                           + rng.normal(0, 8, (NATIVE, NATIVE, 3))
+                           ).clip(0, 255)
+                    Image.fromarray(arr.astype(np.uint8)).save(
+                        d / f"img{i}.jpg", quality=95)
+
+        from leaffliction_tpu.cli.train import main as train_main
+
+        os.chdir(tmp)  # artifact writes (datasets/, plots/) stay in tmp
+        t0 = time.perf_counter()
+        train_main(["--balance-from", str(tmp / "tree"),
+                    "--epochs", "20", "--img-size", str(IMG),
+                    "--scale", "base", "--out-dir", str(tmp / "models")])
+        wall = time.perf_counter() - t0
+        if not (tmp / "models" / "leaf_cnn.msgpack").exists():
+            return {"error_north_star_e2e": "train produced no model"}
+        return {"north_star_e2e_s": round(wall, 1),
+                "north_star_e2e_note":
+                    "one command, unbalanced 1530-img 8-class 256px tree -> "
+                    "balanced 1760 on device -> 20-epoch b32 train w/ "
+                    "per-epoch eval + artifacts + .keras export"}
+    except Exception as exc:
+        return {"error_north_star_e2e": str(exc)[:120]}
+    finally:
+        os.chdir(cwd)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_fused_pipeline() -> tuple[list, int, int]:
     """Fused balance→train handoff: raw tree → balanced dataset RESIDENT IN
     DEVICE HBM (decode originals once → upload once → augment on device →
@@ -716,9 +849,32 @@ def bench_serving() -> dict:
                 np.asarray(jax.device_get(p))
             dt = time.perf_counter() - t0
             infer_samples.append(n_disp * SERVING_BATCH / dt)
+        # 3. h2d UPLOAD stage: device_put of the decoded u8 chunks at the
+        #    measured link — the dominant term the round-4 decomposition
+        #    omitted (e2e 251.7 vs decode 1,650 / infer 2,200: nothing
+        #    explained the gap). Fresh noise is XORed into each chunk so the
+        #    relay client's host-side array cache (see verify SKILL.md trap)
+        #    cannot short-circuit the transfer. With this key, e2e should
+        #    reconcile against the pipelined stage model: e2e ≈ slowest
+        #    stage when overlap works (docs/performance.md has the
+        #    round-5 reconciliation paragraph).
+        upload_samples = []
+        rng_u = np.random.default_rng(3)
+        for _ in range(_n_runs()):
+            chunks = [arrays[i:i + SERVING_BATCH]
+                      ^ rng_u.integers(0, 255, (1, 1, 1, 3), dtype=np.uint8)
+                      for i in range(0, n, SERVING_BATCH)]
+            t0 = time.perf_counter()
+            devs = [jax.device_put(c) for c in chunks]
+            # sync: one scalar per chunk (block_until_ready lies on relay)
+            for d in devs:
+                assert int(jnp.sum(d[0, :4, :4].astype(jnp.int32))) >= 0
+            dt = time.perf_counter() - t0
+            upload_samples.append(n / dt)
         # host→device pixel traffic per run (what rides the relay)
         return {**spread("serving_img_per_sec", samples),
                 **spread("serving_decode_img_per_sec", decode_samples),
+                **spread("serving_upload_img_per_sec", upload_samples),
                 **spread("serving_infer_img_per_sec", infer_samples),
                 "serving_bytes_up": n * IMG * IMG * 3}
     except Exception as exc:
@@ -778,8 +934,7 @@ def _arm_watchdog(deadline_s: float = 2700.0) -> None:
         _partial.setdefault(
             "error", f"bench exceeded {deadline_s:.0f}s (relay outage "
                      "mid-run?); partial results")
-        print(json.dumps(_partial))
-        sys.stdout.flush()
+        emit_final(_partial)
         import os
         os._exit(0)
 
@@ -794,13 +949,12 @@ def main() -> None:
         # Parseable failure beats a hung driver: record WHY there is no
         # number this round. os._exit avoids waiting on the stuck probe
         # thread blocked inside the relay client.
-        print(json.dumps({
+        emit_final({
             "metric": "augmented images/sec/chip at 224px",
             "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
             "error": "accelerator unreachable (relay outage) for 15 min; "
                      "no measurement possible this run",
-        }))
-        sys.stdout.flush()
+        })
         import os
         os._exit(0)
     # link weather first: every other number reads against these
@@ -876,9 +1030,13 @@ def main() -> None:
     _partial.update(result)
     result.update(bench_serving())
     _partial.update(result)
+    # the one-command e2e LAST: it is the longest single phase, so every
+    # other headline is already in _partial if the watchdog fires mid-run
+    result.update(bench_north_star_e2e())
+    _partial.update(result)
     result.update(mfu_keys)
     result.update(ns_keys)
-    print(json.dumps(result))
+    emit_final(result)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,35 @@ def test_watchdog_emits_partial_json():
     assert out["e2e_img_per_sec"] == 12.5  # completed sections survive
 
 
+def test_compact_line_fits_driver_tail(tmp_path):
+    """Round-4 regression: the all-keys output line outgrew the driver's
+    ~2 KB tail capture and BENCH_r04.json recorded `parsed: null`. The
+    stdout line must stay under the budget no matter how many keys the
+    full result carries, while the headline keys survive the trim and the
+    full dict lands in bench_results.json."""
+    out = _run(f"""
+        import sys; sys.path.insert(0, {REPO!r})
+        import bench, os
+        os.chdir({str(REPO)!r})
+        result = {{
+            "metric": "augmented images/sec/chip at 224px",
+            "value": 94697.0, "unit": "images/sec", "vs_baseline": 172.2,
+            "serving_img_per_sec": 251.7, "mfu_pct_leafcnn_b32": 9.5,
+            "north_star_e2e_s": 180.0,
+        }}
+        result.update({{f"extra_key_number_{{i}}": 123.456789 for i in range(200)}})
+        bench.emit_final(result)
+    """)
+    line = json.dumps(out)
+    assert len(line) <= 1500
+    for k in ("metric", "value", "vs_baseline", "serving_img_per_sec",
+              "mfu_pct_leafcnn_b32", "north_star_e2e_s"):
+        assert k in out, f"headline key {k} trimmed from compact line"
+    assert not any(k.startswith("extra_key") for k in out)
+    full = json.loads(open(f"{REPO}/bench_results.json").read())
+    assert full["extra_key_number_199"] == 123.456789
+
+
 def test_unreachable_device_emits_error_json():
     # probe never answers (patched to block) -> error JSON, not a hang
     out = _run(f"""
