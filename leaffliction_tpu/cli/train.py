@@ -316,11 +316,14 @@ def main(argv=None) -> None:
         # reference-default b32 leaves the MXU batch-starved at 224px:
         # b128 measures ~2.6x img/s and MFU, but needs sqrt-scaled lr and
         # ~4x the epoch budget to hold accuracy (A/B table in
-        # docs/performance.md; early stopping picks the real endpoint)
+        # docs/performance.md; early stopping picks the real endpoint).
+        # Scale the suggestion from the USER's lr/epochs, not the defaults:
+        # sqrt(128/32) = 2x the lr they actually passed.
         LOGGER.info("Note: --batch-size %d underutilizes the TPU at %dpx; "
-                    "--batch-size 128 --lr 4e-3 --epochs %d measures ~2.6x "
+                    "--batch-size 128 --lr %g --epochs %d measures ~2.6x "
                     "images/sec at matched val accuracy",
-                    args.batch_size, args.img_size, args.epochs * 4)
+                    args.batch_size, args.img_size, args.lr * 2.0,
+                    args.epochs * 4)
     if fused and jax.process_count() > 1:
         iter_batch = args.batch_size * jax.process_count()
         LOGGER.info("Fused multi-host: global batch %d (%d per process x %d "

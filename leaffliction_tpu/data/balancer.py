@@ -165,14 +165,19 @@ class DatasetBalancer:
             resolve_backend,
         )
 
-        header_shapes: Dict[Path, tuple] = {}
-        for p in {t.source_img for t in tasks}:
-            try:
-                with Image.open(p) as im:
-                    header_shapes[p] = (im.height, im.width, 3)
-            except Exception:
-                pass
-        if resolve_backend(tasks, header_shapes) == "host":
+        def scan_header_shapes() -> Dict[Path, tuple]:
+            # one header open per unique source; only the auto+TPU decision
+            # needs these, so resolve_backend invokes this lazily
+            shapes: Dict[Path, tuple] = {}
+            for p in {t.source_img for t in tasks}:
+                try:
+                    with Image.open(p) as im:
+                        shapes[p] = (im.height, im.width, 3)
+                except Exception:
+                    pass
+            return shapes
+
+        if resolve_backend(tasks, scan_header_shapes) == "host":
             LOGGER.info("Executing %d tasks on the host pool backend",
                         len(tasks))
             return execute_tasks_host(tasks, self.seed)

@@ -18,13 +18,26 @@ Parameter parity: every transform parameter (flip direction, rotation
 angle, skew/shear factors, crop window fractions, autocontrast cutoff) is
 drawn from the IDENTICAL `jax.random` stream as the device kernels
 (`ops/augment.py` — same `fold_in(root_key, task_seed)` keys, same split
-order, same uniform bounds) in ONE batched call in the parent process, so
-both backends produce the same geometry for the same task. Pixel-level
-interpolation is PIL's (the reference implementation the device kernels
-are golden-tested against, `srcs/preprocessing/image_augmenter.py:12-133`);
-distortion noise is distribution-identical (NumPy Gaussian per task seed)
-rather than bit-identical — the one documented delta, matching the classic
-tolerance contract.
+order, same uniform bounds imported from that module) in ONE batched call
+in the parent process, so both backends produce the same geometry for the
+same task. Pixel-level interpolation is PIL's (the reference
+implementation the device kernels are golden-tested against,
+`srcs/preprocessing/image_augmenter.py:12-133`).
+
+Distortion parity has two tiers:
+
+- default: noise is distribution-identical (NumPy Gaussian per task seed,
+  rounded-to-nearest on the uint8 cast like the device `_to_u8`) — the
+  classic tolerance contract.
+- `LEAF_STRICT_DISTORTION=1`: the worker evaluates the device op itself
+  (`_distortion_one_wrap` → `_to_u8`) on jax-CPU with the same
+  `fold_in(root_key, task_seed)` key, so the noise bytes, wrap arithmetic
+  and autocontrast are the SAME threefry stream and math as the device
+  backend — byte-identical pixels, golden-tested device-vs-host
+  (`tests/test_host_balance.py`). File-level byte equality additionally
+  requires both executors to use the same JPEG codec (the device path
+  prefers the native libjpeg helper when built; the host pool encodes with
+  PIL).
 """
 
 from __future__ import annotations
@@ -79,23 +92,35 @@ def draw_params_batch(root_seed: int, transforms: Sequence[str],
     import jax
     import jax.numpy as jnp
 
+    from leaffliction_tpu.ops.augment import (
+        CROP_RATIO_RANGE,
+        CUTOFF_MAX,
+        MAX_ROTATE_DEG,
+        SHEAR_MAX,
+        SKEW_RANGE,
+    )
+
     def draw_all(key):
         # draw every op's params from the op's own stream; the caller picks
         # the relevant fields per task (unused draws cost nothing at this
-        # scale and keep each op's stream byte-identical to its kernel)
+        # scale and keep each op's stream byte-identical to its kernel).
+        # Bounds are imported from ops/augment so a kernel bound change
+        # can never silently desync the two backends.
         flip_h = jax.random.bernoulli(key)
-        angle = jax.random.uniform(key, (), jnp.float32, -30.0, 30.0)
-        skew_s = jax.random.uniform(key, (), jnp.float32, 0.05, 0.15)
+        angle = jax.random.uniform(key, (), jnp.float32,
+                                   -MAX_ROTATE_DEG, MAX_ROTATE_DEG)
+        skew_s = jax.random.uniform(key, (), jnp.float32, *SKEW_RANGE)
         k_dir, k_s = jax.random.split(key)
-        shear_s = jax.random.uniform(k_s, (), jnp.float32, -0.2, 0.2)
+        shear_s = jax.random.uniform(k_s, (), jnp.float32,
+                                     -SHEAR_MAX, SHEAR_MAX)
         shear_h = jax.random.bernoulli(k_dir)
         k_r, k_l, k_t = jax.random.split(key, 3)
-        ratio = jax.random.uniform(k_r, (), jnp.float32, 0.8, 0.95)
+        ratio = jax.random.uniform(k_r, (), jnp.float32, *CROP_RATIO_RANGE)
         u_left = jax.random.uniform(k_l, ())
         u_top = jax.random.uniform(k_t, ())
         k_noise, k_cut = jax.random.split(key)
         del k_noise
-        cutoff = jax.random.uniform(k_cut, (), jnp.float32, 0.0, 2.0)
+        cutoff = jax.random.uniform(k_cut, (), jnp.float32, 0.0, CUTOFF_MAX)
         return (flip_h, angle, skew_s, shear_s, shear_h, ratio, u_left,
                 u_top, cutoff)
 
@@ -120,10 +145,53 @@ def draw_params_batch(root_seed: int, transforms: Sequence[str],
     return out
 
 
+def _strict_distortion_u8(arr: np.ndarray, root_seed: int,
+                          task_seed: int) -> np.ndarray:
+    """Evaluate the DEVICE strict-wrap distortion op on this image with the
+    device balancer's exact key derivation (`balancer.py` fold_in) so the
+    output pixels are byte-identical to what `distortion_batch_wrap`
+    produces for the same task — same threefry noise bytes, same wrap
+    arithmetic, same autocontrast, same round-to-u8.
+
+    Runs on jax-CPU in a spawned worker (`_worker_init` pins the platform
+    before first backend use — an `import jax` guard is NOT enough because
+    environment sitecustomize hooks can import jax into every fresh
+    interpreter). In the thread-pool fallback jax is already initialized
+    in the parent — reuse its backend; the strict op's noise and wrap
+    arithmetic are backend-bit-identical (`ops/augment._noise_strict`), so
+    either backend produces the same bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    from leaffliction_tpu.ops.augment import distortion_batch_wrap
+
+    key = jax.random.fold_in(jax.random.key(root_seed),
+                             jnp.uint32(task_seed))
+    out = distortion_batch_wrap(key[None], jnp.asarray(arr)[None])
+    return np.asarray(out[0])
+
+
+def _worker_init() -> None:
+    """Spawn-pool worker initializer: pin jax to the CPU backend BEFORE any
+    task touches it (strict-mode distortion evaluates the device op on
+    jax-CPU). Without this, the environment's `JAX_PLATFORMS`/sitecustomize
+    would aim every worker at the accelerator — one device dial per task
+    and, on a relayed TPU, a different erfinv rounding than the test
+    harness. `config.update` wins over the env even when a sitecustomize
+    hook has already imported jax, as long as no backend is initialized."""
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # pragma: no cover - worker must still run PIL tasks
+        pass
+
+
 def _apply_host_task(args) -> bool:
     """Worker: JPEG decode → one PIL/NumPy transform (explicit params) →
-    JPEG encode q95. Pure host; no jax in the worker."""
-    src, dst, p, task_seed, strict_wrap = args
+    JPEG encode q95. Pure host (no jax in the worker), except strict-mode
+    distortion which evaluates the device op on jax-CPU for byte parity."""
+    src, dst, p, task_seed, strict_wrap, root_seed = args
     try:
         from PIL import Image, ImageOps
 
@@ -161,17 +229,19 @@ def _apply_host_task(args) -> bool:
                 (w, h), Image.LANCZOS)
         elif t == "distortion":
             arr = np.asarray(img)
-            noise = np.random.default_rng(task_seed).normal(0.0, 5.0,
-                                                            arr.shape)
             if strict_wrap:
-                # reference uint8 wraparound (`image_augmenter.py:121-124`)
-                noisy = ((arr.astype(np.int32)
-                          + (noise.astype(np.int32) % 256)) % 256
-                         ).astype(np.uint8)
+                # bit-parity tier: run the device op itself on jax-CPU
+                img = Image.fromarray(
+                    _strict_distortion_u8(arr, root_seed, task_seed))
             else:
-                noisy = np.clip(arr + noise, 0, 255).astype(np.uint8)
-            img = ImageOps.autocontrast(Image.fromarray(noisy),
-                                        cutoff=p.cutoff)
+                noise = np.random.default_rng(task_seed).normal(
+                    0.0, 5.0, arr.shape)
+                # round like the device `_to_u8` (a bare cast truncates,
+                # a systematic ~0.5-grey darkening vs the device backend)
+                noisy = np.clip(np.rint(arr + noise), 0, 255
+                                ).astype(np.uint8)
+                img = ImageOps.autocontrast(Image.fromarray(noisy),
+                                            cutoff=p.cutoff)
         else:
             raise ValueError(f"unknown transform: {t}")
         img.save(dst, quality=95)
@@ -202,13 +272,14 @@ def execute_tasks_host(tasks, root_seed: int,
     params = draw_params_batch(root_seed, [t.transform for t in tasks],
                                [t.task_seed for t in tasks])
     args = [(str(t.source_img), str(t.output_path), p, t.task_seed,
-             strict_wrap) for t, p in zip(tasks, params)]
+             strict_wrap, root_seed) for t, p in zip(tasks, params)]
     completed = failed = 0
     try:
         # spawn: forking after JAX initialized its thread pools can deadlock
         with cf.ProcessPoolExecutor(
                 max_workers=workers,
-                mp_context=mp.get_context("spawn")) as pool:
+                mp_context=mp.get_context("spawn"),
+                initializer=_worker_init) as pool:
             for i, ok in enumerate(pool.map(_apply_host_task, args,
                                             chunksize=16)):
                 if ok:
@@ -334,12 +405,16 @@ def pick_balance_backend(
 last_decision: Dict[str, object] = {}
 
 
-def resolve_backend(tasks, decoded_shapes: Dict,
+def resolve_backend(tasks, decoded_shapes,
                     workers: Optional[int] = None) -> str:
     """Resolve LEAF_BALANCE_BACKEND (device|host|auto; default auto).
 
     `decoded_shapes`: source path → (h, w, c) for estimating the average
-    output image size the device path would download.
+    output image size the device path would download — either the dict
+    itself or a zero-arg callable producing it. Pass a callable when
+    building the dict costs I/O (the balancer opens every unique source's
+    header): it is only invoked on the auto+TPU path, so an explicit
+    backend choice or a non-TPU run never pays the scan.
     """
     choice = os.environ.get("LEAF_BALANCE_BACKEND", "auto").lower()
     if choice in ("device", "host"):
@@ -355,6 +430,8 @@ def resolve_backend(tasks, decoded_shapes: Dict,
         # no host<->device link to lose to: keep the in-process jax path
         last_decision.update(backend="device", link_mbps=None)
         return "device"
+    if callable(decoded_shapes):
+        decoded_shapes = decoded_shapes()
     sizes = []
     for t in tasks:
         shape = decoded_shapes.get(t.source_img)

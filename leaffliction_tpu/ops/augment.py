@@ -38,7 +38,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from leaffliction_tpu.ops.photometric import autocontrast
+from leaffliction_tpu.ops.photometric import (
+    autocontrast,
+    autocontrast_u8_exact,
+)
 from leaffliction_tpu.ops.resample import (
     rotate_warp,
     scale_translate_warp,
@@ -49,7 +52,16 @@ Array = jax.Array
 
 AUG_OPS = ("flip", "rotate", "skew", "shear", "crop", "distortion")
 
+# Parameter bounds shared by the device kernels below AND the host-pool
+# backend's batched draw (`data/host_augment.draw_params_batch`): one
+# definition so the two executors of a task plan can never silently desync
+# (reference bounds: `srcs/preprocessing/image_augmenter.py:33-133`).
 MAX_ROTATE_DEG = 30.0
+SKEW_RANGE = (0.05, 0.15)
+SHEAR_MAX = 0.2
+CROP_RATIO_RANGE = (0.8, 0.95)
+CUTOFF_MAX = 2.0
+NOISE_STD = 5.0
 
 
 def rotate_canvas_hw(h: int, w: int) -> Tuple[int, int]:
@@ -131,7 +143,7 @@ def _use_pallas_warps() -> bool:
 
 def _skew_one(key: Array, img: Array) -> Array:
     h, w = img.shape[0], img.shape[1]
-    s = jax.random.uniform(key, (), jnp.float32, 0.05, 0.15)
+    s = jax.random.uniform(key, (), jnp.float32, *SKEW_RANGE)
     # + 0.5·s: PIL transform applies coefficients at pixel centers
     # (src = A·(out + 0.5) − 0.5); bicubic = the reference's Image.BICUBIC
     return scale_translate_warp(
@@ -143,7 +155,7 @@ def _skew_one(key: Array, img: Array) -> Array:
 def _shear_one(key: Array, img: Array) -> Array:
     k_dir, k_s = jax.random.split(key)
     h, w = img.shape[0], img.shape[1]
-    s = jax.random.uniform(k_s, (), jnp.float32, -0.2, 0.2)
+    s = jax.random.uniform(k_s, (), jnp.float32, -SHEAR_MAX, SHEAR_MAX)
     horizontal = jax.random.bernoulli(k_dir)
     return shear_warp(img, s, horizontal, (h, w), fill=0.0,
                       kernel="bicubic", half_px=True)
@@ -152,7 +164,7 @@ def _shear_one(key: Array, img: Array) -> Array:
 def _crop_one(key: Array, img: Array) -> Array:
     k_ratio, k_left, k_top = jax.random.split(key, 3)
     h, w = img.shape[0], img.shape[1]
-    ratio = jax.random.uniform(k_ratio, (), jnp.float32, 0.8, 0.95)
+    ratio = jax.random.uniform(k_ratio, (), jnp.float32, *CROP_RATIO_RANGE)
     new_w = jnp.floor(w * ratio)
     new_h = jnp.floor(h * ratio)
     left = jnp.floor(jax.random.uniform(k_left, ()) * (w - new_w + 1.0))
@@ -182,11 +194,88 @@ def _noise(key: Array, shape: Tuple[int, ...]) -> Array:
     return jax.random.normal(key, shape, jnp.float16).astype(jnp.float32)
 
 
+def _acklam_ndtri(p: "np.ndarray") -> "np.ndarray":
+    """Inverse normal CDF in float64 (Acklam's rational approximation,
+    |relative error| < 1.15e-9 — far below f32 table resolution). Used
+    once at import-first-use to build the strict noise table; pure NumPy
+    so the table bytes are identical on every host and backend."""
+    import numpy as np
+
+    p = np.asarray(p, np.float64)
+    a = [-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00]
+    lo, hi = 0.02425, 1.0 - 0.02425
+    out = np.empty_like(p)
+    m = p < lo
+    q = np.sqrt(-2.0 * np.log(np.where(m, p, 0.5)))
+    out_lo = (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+              + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q
+                         + 1.0)
+    m_hi = p > hi
+    q = np.sqrt(-2.0 * np.log(np.where(m_hi, 1.0 - p, 0.5)))
+    out_hi = -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+               + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q
+                          + 1.0)
+    q = p - 0.5
+    r = q * q
+    out_mid = ((((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r
+                + a[5]) * q
+               / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4])
+                  * r + 1.0))
+    out = np.where(m, out_lo, np.where(m_hi, out_hi, out_mid))
+    return out
+
+
+_STRICT_NOISE_BITS = 11  # 2048 quantiles ≈ the f16 draw's granularity
+_strict_noise_table = None
+
+
+def _get_strict_noise_table():
+    # cached as NumPy (a jnp constant created under trace would leak the
+    # tracer); jnp.asarray below is free after the first constant-fold
+    global _strict_noise_table
+    if _strict_noise_table is None:
+        import numpy as np
+
+        n = 1 << _STRICT_NOISE_BITS
+        q = (np.arange(n, dtype=np.float64) + 0.5) / n
+        _strict_noise_table = _acklam_ndtri(q).astype(np.float32)
+    return jnp.asarray(_strict_noise_table)
+
+
+def _noise_strict(key: Array, shape: Tuple[int, ...]) -> Array:
+    """N(0,1) noise that is BIT-IDENTICAL on every backend.
+
+    `jax.random.normal` routes uniform bits through `erfinv`, whose f16/f32
+    rounding differs between the CPU and TPU lowerings (~0.7% of draws off
+    by one ulp — enough to flip a grey level after ×σ and wrap). The strict
+    distortion contract is byte equality between the device balancer (TPU)
+    and the host pool (jax-CPU), so the strict draw avoids transcendentals
+    entirely: threefry bits (a pure integer cipher, identical everywhere)
+    index a precomputed 2048-entry inverse-CDF table (f64 Acklam → f32
+    constant). Gather + integer shifts carry no rounding, so the bytes
+    match across backends by construction. 2048 quantiles ≈ the f16
+    granularity of the fast path's draw; the tails truncate at ±3.48σ
+    (±17.4 greys at σ=5 — indistinguishable on uint8 pixels)."""
+    bits = jax.random.bits(key, shape, jnp.uint16)
+    idx = (bits >> (16 - _STRICT_NOISE_BITS)).astype(jnp.int32)
+    return jnp.take(_get_strict_noise_table(), idx)
+
+
 def _distortion_one(key: Array, img: Array) -> Array:
     k_noise, k_cut = jax.random.split(key)
     x = img.astype(jnp.float32)
-    x = jnp.clip(x + 5.0 * _noise(k_noise, x.shape), 0.0, 255.0)
-    cutoff = jax.random.uniform(k_cut, (), jnp.float32, 0.0, 2.0)
+    x = jnp.clip(x + NOISE_STD * _noise(k_noise, x.shape), 0.0, 255.0)
+    cutoff = jax.random.uniform(k_cut, (), jnp.float32, 0.0, CUTOFF_MAX)
     return autocontrast(x, cutoff)
 
 
@@ -206,14 +295,17 @@ def wrap_noise_u8(img_u8: Array, noise: Array) -> Array:
 
 
 def _distortion_one_wrap(key: Array, img: Array) -> Array:
-    """Strict-parity distortion: same parameter stream as `_distortion_one`
-    (identical key splits and draws) but with the reference's uint8
-    wraparound instead of clipping."""
+    """Strict-parity distortion: same key splits as `_distortion_one` but
+    with the reference's uint8 wraparound instead of clipping, and every
+    stage backend-bit-identical so the device balancer and the host pool
+    produce the SAME bytes for a task: table noise (`_noise_strict`),
+    integer wrap, and the exact-int autocontrast remap
+    (`autocontrast_u8_exact`)."""
     k_noise, k_cut = jax.random.split(key)
-    noise = 5.0 * _noise(k_noise, img.shape)
-    x = wrap_noise_u8(img, noise).astype(jnp.float32)
-    cutoff = jax.random.uniform(k_cut, (), jnp.float32, 0.0, 2.0)
-    return autocontrast(x, cutoff)
+    noise = NOISE_STD * _noise_strict(k_noise, img.shape)
+    wrapped = wrap_noise_u8(img, noise)
+    cutoff = jax.random.uniform(k_cut, (), jnp.float32, 0.0, CUTOFF_MAX)
+    return autocontrast_u8_exact(wrapped, cutoff).astype(jnp.float32)
 
 
 # --- batched entry points ---------------------------------------------------
@@ -334,7 +426,8 @@ def distortion_batch(keys: Array, imgs: Array) -> Array:
         def draw(key):
             k_noise, k_cut = jax.random.split(key)  # same stream split
             seeds = jax.random.bits(k_noise, (imgs.shape[-1],), jnp.uint32)
-            cutoff = jax.random.uniform(k_cut, (), jnp.float32, 0.0, 2.0)
+            cutoff = jax.random.uniform(k_cut, (), jnp.float32, 0.0,
+                                        CUTOFF_MAX)
             return seeds.astype(jnp.int32), cutoff
 
         seeds, cutoffs = jax.vmap(draw)(keys)

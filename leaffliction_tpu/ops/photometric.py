@@ -31,6 +31,49 @@ def adjust_brightness(img: Array, delta: Array | float) -> Array:
     return jnp.clip(img + delta, 0.0, 255.0)
 
 
+def autocontrast_u8_exact(img_u8: Array,
+                          cutoff_percent: Array | float = 0.0) -> Array:
+    """`autocontrast` for uint8 inputs with a BACKEND-BIT-IDENTICAL remap.
+
+    The f32 remap in `autocontrast` (`x*scale + offset` then round) can
+    differ by one ulp between CPU and TPU lowerings (FMA contraction),
+    which flips the final byte for pixels landing near .5 (~0.1% measured)
+    — unacceptable for the strict distortion contract, where the device
+    balancer (TPU) and the host pool (jax-CPU) must produce the SAME
+    bytes. Here the quantile search is the same integer binary search and
+    the remap is exact int32 arithmetic: round-half-up of
+    255·(v−lo)/(hi−lo) via `(510·(v−lo) + (hi−lo)) // (2·(hi−lo))` —
+    no float rounding anywhere, so every backend agrees by construction.
+    → uint8."""
+    q = img_u8.reshape(-1, img_u8.shape[-1])  # [P, C] uint8
+    n, c = q.shape
+    cut = jnp.asarray(cutoff_percent, jnp.float32) * n / 100.0
+
+    def step(_, state):
+        lo_lo, lo_hi, hi_lo, hi_hi = state
+        lo_mid = (lo_lo + lo_hi) // 2
+        hi_mid = (hi_lo + hi_hi + 1) // 2
+        cnt_le = jnp.sum((q <= lo_mid[None, :].astype(jnp.uint8))
+                         .astype(jnp.float32), axis=0)
+        cnt_ge = jnp.sum((q >= hi_mid[None, :].astype(jnp.uint8))
+                         .astype(jnp.float32), axis=0)
+        lo_take = cnt_le > cut
+        hi_take = cnt_ge > cut
+        return (jnp.where(lo_take, lo_lo, lo_mid + 1),
+                jnp.where(lo_take, lo_mid, lo_hi),
+                jnp.where(hi_take, hi_mid, hi_lo),
+                jnp.where(hi_take, hi_hi, hi_mid - 1))
+
+    zeros = jnp.zeros((c,), jnp.int32)
+    full = jnp.full((c,), 255, jnp.int32)
+    lo, _, hi, _ = jax.lax.fori_loop(0, 8, step, (zeros, full, zeros, full))
+    v = img_u8.astype(jnp.int32)
+    span = (hi - lo)[None, None, :]
+    num = 510 * (v - lo[None, None, :]) + span
+    out = jnp.clip(num // jnp.maximum(2 * span, 1), 0, 255)
+    return jnp.where(span > 0, out, v).astype(jnp.uint8)
+
+
 def autocontrast(img: Array, cutoff_percent: Array | float = 0.0) -> Array:
     """Per-channel linear stretch to full range, ignoring `cutoff_percent`%
     of darkest/brightest pixels (PIL `ImageOps.autocontrast` semantics used

@@ -16,9 +16,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from leaffliction_tpu.core.logging import get_logger
 from leaffliction_tpu.ops.resample import rotate_warp
 
 Array = jax.Array
+
+LOGGER = get_logger(__name__)
 
 
 def _draw_params(key: Array, rotation_frac: float, contrast_delta: float):
@@ -108,11 +111,20 @@ def train_augment_u8(
         # barrel's vreg traffic, but current Mosaic cannot lower
         # `tpu.dynamic_rotate` on non-32-bit data (measured on v5e:
         # "Rotate with non-32-bit data: not implemented"), so f32 is the
-        # only dtype that COMPILES on hardware today. LEAF_AUG_CANVAS=bf16
-        # keeps the experiment reachable (interpret mode / future Mosaic).
+        # only dtype that COMPILES on hardware today. This branch only runs
+        # on real TPU (`default_backend() == "tpu"` above), so bf16 here
+        # would crash the first train step — warn and fall back instead.
+        # The experiment stays reachable through the Pallas kernels' direct
+        # interpret-mode entry points (`ops/pallas/rotate.py`).
         # NOTE: read at trace time — set before the first train step.
         cv = os.environ.get("LEAF_AUG_CANVAS", "f32")
-        canvas_dtype = (jnp.bfloat16 if cv == "bf16" else jnp.float32)
+        if cv == "bf16":
+            LOGGER.warning(
+                "LEAF_AUG_CANVAS=bf16 cannot compile on TPU hardware "
+                "(Mosaic: 'Rotate with non-32-bit data'); using f32. "
+                "bf16 canvases remain available via the kernels' "
+                "interpret-mode entry points.")
+        canvas_dtype = jnp.float32
         c_bytes = jnp.dtype(canvas_dtype).itemsize
         o_bytes = jnp.dtype(out_dtype).itemsize
         # interleaved footprint = 2 scratch canvases + the out block, all
