@@ -479,27 +479,26 @@ def main(argv=None) -> None:
     step_callback = None
     async_ckpt = None
     if args.checkpoint_every_steps > 0:
-        if jax.process_count() > 1:
-            LOGGER.warning("--checkpoint-every-steps is single-process; "
-                           "use --checkpoint-every on multi-host. Ignoring.")
-        else:
-            from leaffliction_tpu.train.checkpoint import (
-                AsyncStepCheckpointer,
-            )
+        from leaffliction_tpu.train.checkpoint import (
+            AsyncStepCheckpointer,
+        )
 
-            async_ckpt = AsyncStepCheckpointer(ckpt_dir,
-                                               args.checkpoint_every_steps)
-            if history is None:
-                history = {"loss": [], "accuracy": [],
-                           "val_loss": [], "val_accuracy": []}
-            _steps_per_epoch = train_iter.steps_per_epoch()
-            _live_history = history
+        # multi-host: the checkpointer runs a deterministic modulo cadence
+        # and keeps every device collective on this (training) thread, so
+        # all hosts issue the same sequence — see AsyncStepCheckpointer
+        async_ckpt = AsyncStepCheckpointer(ckpt_dir,
+                                           args.checkpoint_every_steps)
+        if history is None:
+            history = {"loss": [], "accuracy": [],
+                       "val_loss": [], "val_accuracy": []}
+        _steps_per_epoch = train_iter.steps_per_epoch()
+        _live_history = history
 
-            def step_callback(epoch, step_in_epoch, st):
-                async_ckpt.maybe_save(
-                    epoch * _steps_per_epoch + step_in_epoch, st,
-                    {"epoch": epoch, "step_in_epoch": step_in_epoch,
-                     "history": _live_history})
+        def step_callback(epoch, step_in_epoch, st):
+            async_ckpt.maybe_save(
+                epoch * _steps_per_epoch + step_in_epoch, st,
+                {"epoch": epoch, "step_in_epoch": step_in_epoch,
+                 "history": _live_history})
 
     profile_ctx = None
     if args.profile_dir is not None:

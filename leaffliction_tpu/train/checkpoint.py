@@ -139,10 +139,24 @@ class AsyncStepCheckpointer:
     has no mid-run checkpointing at all (`srcs/train/utils.py:75-97` is a
     single post-training save).
 
-    Single-process: orbax's save is a collective on multi-host, and running
-    collectives from per-host worker threads with skip-if-busy cadence
-    could desynchronize the hosts — multi-host runs use the synchronous
-    epoch-granular `save_resume_checkpoint` instead (cli/train.py gates).
+    Multi-host (`jax.process_count() > 1`) is supported with two changes
+    that keep every host's collective sequence IDENTICAL — the two ways an
+    async checkpointer can desynchronize a multi-host run:
+
+    - deterministic cadence: the save decision is a pure function of the
+      global step (`step % N == 0`), and a still-in-flight previous save is
+      WAITED on rather than skipped (skip-if-busy depends on per-host disk
+      timing, so hosts could disagree about which steps saved and deadlock
+      inside orbax's barriers);
+    - main-thread device work: the snapshot copy, the all-gather of
+      cross-process (tensor-parallel) leaves, and the device→host copy
+      enqueue are all ASYNC DISPATCHES issued from the training thread, so
+      they hold the same position relative to the train-step collectives
+      in every host's device stream. The worker thread only WAITS on those
+      already-enqueued transfers and runs the orbax write — whose
+      multi-host finalization is a coordination-service barrier
+      (process-level, like orbax's own async checkpointer), not an XLA
+      collective, and is therefore safe off-thread.
     """
 
     def __init__(self, ckpt_dir: Path, every_steps: int,
@@ -151,12 +165,9 @@ class AsyncStepCheckpointer:
 
         import orbax.checkpoint as ocp
 
-        if jax.process_count() > 1:
-            raise ValueError(
-                "AsyncStepCheckpointer is single-process; use the "
-                "epoch-granular save_resume_checkpoint on multi-host")
         self.ckpt_dir = Path(ckpt_dir).resolve()
         self.every_steps = max(1, int(every_steps))
+        self._multihost = jax.process_count() > 1
         self._mngr = ocp.CheckpointManager(
             self.ckpt_dir,
             options=ocp.CheckpointManagerOptions(
@@ -168,41 +179,79 @@ class AsyncStepCheckpointer:
 
     def maybe_save(self, global_step: int, state: Any,
                    meta: Dict) -> bool:
-        """Snapshot + schedule a save if the cadence fires and no save is
-        in flight. → True when a save was scheduled. Near-instant either
-        way: the only on-thread work is dispatching the device-side copy."""
+        """Snapshot + schedule a save if the cadence fires. → True when a
+        save was scheduled. Single-process: skip-if-busy, near-instant (the
+        only on-thread work is dispatching the device-side copy).
+        Multi-host: modulo cadence + wait-if-busy (see class docstring)."""
+        import jax.numpy as jnp
+
+        if self._multihost:
+            if global_step <= 0 or global_step % self.every_steps:
+                return False
+            if self._inflight is not None:
+                # deterministic: every host waits here for ITS OWN previous
+                # save; the sequence of saves stays identical across hosts
+                self._inflight.result()
+            snap = jax.tree_util.tree_map(jnp.copy, state)
+            snap = self._gather_cross_process(snap)
+            for leaf in jax.tree_util.tree_leaves(snap):
+                if isinstance(leaf, jax.Array):
+                    leaf.copy_to_host_async()
+            self._last_saved = global_step
+            self._inflight = self._pool.submit(
+                self._save, global_step, snap, dict(meta))
+            return True
         if global_step - self._last_saved < self.every_steps:
             return False
         if self._inflight is not None and not self._inflight.done():
             return False
-        import jax.numpy as jnp
-
         snap = jax.tree_util.tree_map(jnp.copy, state)
         self._last_saved = global_step
         self._inflight = self._pool.submit(
             self._save, global_step, snap, dict(meta))
         return True
 
+    @staticmethod
+    def _gather_cross_process(snap: Any) -> Any:
+        """Re-assemble leaves that span processes (tensor-parallel shards)
+        into replicated arrays — `_host_tree`'s collective, but dispatched
+        HERE on the training thread so its stream position is identical on
+        every host. Async dispatch: returns immediately."""
+        def one(x):
+            if isinstance(x, jax.Array) and not (
+                    x.is_fully_addressable or x.is_fully_replicated):
+                repl = jax.sharding.NamedSharding(
+                    x.sharding.mesh, jax.sharding.PartitionSpec())
+                x = jax.jit(lambda a: a, out_shardings=repl)(x)
+            return x
+
+        return jax.tree_util.tree_map(one, snap)
+
     def _save(self, step: int, snap: Any, meta: Dict) -> None:
         import json
 
         import orbax.checkpoint as ocp
 
-        host_state = _host_tree(snap)       # device→host fetch, off-thread
+        # device→host fetch, off-thread. On multi-host the cross-process
+        # leaves were already gathered (and all d2h copies enqueued) on the
+        # training thread, so this only WAITS — no new device collectives
+        # ever run from this worker.
+        host_state = _host_tree(snap)
         del snap                            # release the device copies
         self._mngr.save(step, args=ocp.args.StandardSave(host_state))
         self._mngr.wait_until_finished()    # commit before meta points at it
-        tmp = step_meta_path(self.ckpt_dir, step).with_suffix(".tmp")
-        tmp.write_text(json.dumps(meta))
-        tmp.replace(step_meta_path(self.ckpt_dir, step))
-        # prune meta files for checkpoints the manager garbage-collected
-        live = set(self._mngr.all_steps())
-        for p in self.ckpt_dir.glob("step_meta_*.json"):
-            try:
-                if int(p.stem.rsplit("_", 1)[1]) not in live:
-                    p.unlink(missing_ok=True)
-            except ValueError:
-                pass
+        if jax.process_index() == 0:
+            tmp = step_meta_path(self.ckpt_dir, step).with_suffix(".tmp")
+            tmp.write_text(json.dumps(meta))
+            tmp.replace(step_meta_path(self.ckpt_dir, step))
+            # prune meta files for checkpoints the manager garbage-collected
+            live = set(self._mngr.all_steps())
+            for p in self.ckpt_dir.glob("step_meta_*.json"):
+                try:
+                    if int(p.stem.rsplit("_", 1)[1]) not in live:
+                        p.unlink(missing_ok=True)
+                except ValueError:
+                    pass
         LOGGER.info("Async checkpoint saved at step %d", step)
 
     def busy(self) -> bool:

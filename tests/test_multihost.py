@@ -56,6 +56,9 @@ def test_two_process_training(tmp_path):
             assert f"MULTIHOST_FUSED_OK p{i}" in out, out[-2000:]
             # phase 3: orbax round-trip of cross-process-sharded (TP) state
             assert f"MULTIHOST_CKPT_OK p{i}" in out, out[-2000:]
+            # phase 4: ASYNC step-granular saves + mesh resume (VERDICT r4
+            # item 2 — deterministic cadence, main-thread collectives)
+            assert f"MULTIHOST_ASYNC_CKPT_OK p{i}" in out, out[-2000:]
         # both hosts computed the same global validation loss
         loss0 = [ln for ln in outs[0].splitlines()
                  if "MULTIHOST_OK" in ln][0]

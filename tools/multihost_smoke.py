@@ -199,6 +199,42 @@ def main() -> None:
     assert int(restored["step"]) == 7
     print(f"MULTIHOST_CKPT_OK p{pid}", flush=True)
 
+    # ---- phase 4: ASYNC step-granular checkpointing on the 2-process mesh --
+    # VERDICT r4 item 2: the async checkpointer must run multi-host — a
+    # deterministic modulo cadence (every host decides identically from the
+    # global step), a wait (never a skip) on the in-flight save, all device
+    # collectives on the calling thread, and only process 0 writing the
+    # step-meta. The checkpointed tree includes a CROSS-PROCESS sharded
+    # leaf so the main-thread all-gather path runs for real.
+    from leaffliction_tpu.train.checkpoint import (
+        AsyncStepCheckpointer,
+        read_step_meta,
+    )
+
+    ck2 = shared / "async_step_ckpt"
+    ckpt = AsyncStepCheckpointer(ck2, every_steps=2, max_to_keep=2)
+    saved_steps = []
+    for step in range(1, 6):  # cadence 2 → saves at 2 and 4
+        tree_state = {"w": sharded * np.float32(step),
+                      "step": np.int32(step)}
+        if ckpt.maybe_save(step, tree_state,
+                           {"epoch": 0, "step_in_epoch": step,
+                            "history": {"loss": [0.5]}}):
+            saved_steps.append(step)
+    ckpt.close()
+    assert saved_steps == [2, 4], saved_steps
+    assert latest_resume_step(ck2) == 4
+    # resume-on-the-mesh: restore into the TP-sharded template and check
+    # the gathered values; the meta file exists exactly on the shared disk
+    restored4 = restore_resume_checkpoint(
+        ck2, 4, {"w": sharded, "step": np.int32(0)})
+    np.testing.assert_array_equal(np.asarray(restored4["w"]),
+                                  full * np.float32(4))
+    assert int(restored4["step"]) == 4
+    meta4 = read_step_meta(ck2, 4)
+    assert meta4 is not None and meta4["step_in_epoch"] == 4, meta4
+    print(f"MULTIHOST_ASYNC_CKPT_OK p{pid}", flush=True)
+
 
 if __name__ == "__main__":
     main()
