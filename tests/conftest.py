@@ -27,11 +27,21 @@ import jax  # noqa: E402
 if not _ON_TPU:
     jax.config.update("jax_platforms", "cpu")
 
-import tempfile  # noqa: E402
+# Tests share a PERSISTENT compile cache across sessions: XLA:CPU compiles
+# dominate the quick tier's wall (~11 min cold on this 1-core host), and
+# JAX keys cache entries by HLO fingerprint, so edited programs recompile
+# automatically while unchanged ones load in milliseconds. Safe against the
+# old relay-AOT poisoning concern because core/cache.py scopes the dir by
+# requested platform (cpu vs axon populations never mix); LEAF_TEST_TPU
+# sessions land in their own scope for the same reason.
+os.environ.setdefault(
+    "LEAF_JAX_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "leaffliction_tpu",
+                 "jax-tests"))
 
-# Isolate the persistent compile cache: the shared dir may hold executables
-# compiled by the remote TPU-relay service with mismatched CPU features.
-os.environ["LEAF_JAX_CACHE_DIR"] = tempfile.mkdtemp(prefix="jaxcache-test-")
+from leaffliction_tpu.core.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -102,6 +102,8 @@ def test_resnet_forward_and_grad():
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
 
 
+@pytest.mark.slow  # doubly opt-in path (resnet family + s2d stem); the
+# quick tier keeps the leafcnn s2d variant
 def test_resnet_s2d_stem_shapes_and_grad():
     from leaffliction_tpu.models.resnet import build_resnet
 

@@ -213,6 +213,8 @@ def test_rotate_bias_trick_matches_unbounded(variant):
     np.testing.assert_array_equal(bound, free)
 
 
+@pytest.mark.slow  # guards a non-production tools/ kernel (measured
+# negative result); full tier only
 @pytest.mark.parametrize("n", [8, 5])
 def test_slab_train_aug_kernel_matches_per_plane(n):
     """The multi-image slab kernel (`train_aug_fused_pallas`, kept in

@@ -9,6 +9,8 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+@pytest.mark.slow  # the driver re-runs dryrun_multichip every round and
+# the full tier keeps this; the quick inner loop skips the 2-min duplicate
 def test_dryrun_multichip_8():
     from __graft_entry__ import dryrun_multichip
 
