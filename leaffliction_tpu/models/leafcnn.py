@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from leaffliction_tpu.ops.fused_bn import BatchNorm
+
 Array = jax.Array
 
 SCALE_PRESETS: Dict[str, Dict[str, Any]] = {
@@ -70,8 +72,8 @@ class ConvBlock(nn.Module):
         else:
             x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
                         dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=self.dtype)(x)
+        x = BatchNorm(use_running_average=not train, momentum=0.99,
+                      epsilon=1e-3, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -94,9 +96,9 @@ class ResBlock(nn.Module):
         if shortcut.shape[-1] != self.features:
             shortcut = nn.Conv(self.features, (1, 1), padding="SAME",
                                use_bias=False, dtype=self.dtype)(shortcut)
-            shortcut = nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.99, epsilon=1e-3,
-                                    dtype=self.dtype)(shortcut)
+            shortcut = BatchNorm(use_running_average=not train,
+                                 momentum=0.99, epsilon=1e-3,
+                                 dtype=self.dtype)(shortcut)
         return nn.relu(shortcut + y)
 
 

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from leaffliction_tpu.models.leafcnn import SEBlock, space_to_depth
+from leaffliction_tpu.ops.fused_bn import BatchNorm
 
 Array = jax.Array
 
@@ -40,22 +41,23 @@ class BasicBlock(nn.Module):
         shortcut = x
         y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
                     padding="SAME", use_bias=False, dtype=self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype)(y)
+        y = BatchNorm(use_running_average=not train, momentum=0.9,
+                      epsilon=1e-5, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         scale_init=nn.initializers.zeros,
-                         dtype=self.dtype)(y)
+        y = BatchNorm(use_running_average=not train, momentum=0.9,
+                      epsilon=1e-5, scale_init=nn.initializers.zeros,
+                      dtype=self.dtype)(y)
         if self.use_se:
             y = SEBlock(dtype=self.dtype)(y)
         if shortcut.shape[-1] != self.features or self.strides != 1:
             shortcut = nn.Conv(self.features, (1, 1),
                                strides=(self.strides,) * 2, use_bias=False,
                                dtype=self.dtype)(shortcut)
-            shortcut = nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, dtype=self.dtype)(shortcut)
+            shortcut = BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype)(shortcut)
         return nn.relu(shortcut + y)
 
 
@@ -96,15 +98,15 @@ class LeafResNet(nn.Module):
             x = space_to_depth(x, 4)
             x = nn.Conv(self.widths[0], (2, 2), padding="SAME",
                         use_bias=False, dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             dtype=self.dtype)(x)
+            x = BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype)(x)
             x = nn.relu(x)
         else:
             # stem: 7x7/2 + maxpool/2 (224 → 56)
             x = nn.Conv(self.widths[0], (7, 7), strides=(2, 2),
                         padding="SAME", use_bias=False, dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             dtype=self.dtype)(x)
+            x = BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype)(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
