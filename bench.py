@@ -439,29 +439,41 @@ def bench_train_mfu() -> dict:
     # uint8 pixels per config stay ~100-310 MB in HBM.
     configs = (
         ("leafcnn_b32",
-         lambda: build_leafcnn(num_classes=8, scale="base",
-                               dtype=jnp.bfloat16), 32, 16),
+         lambda **kw: build_leafcnn(num_classes=8, scale="base",
+                                    dtype=jnp.bfloat16, **kw), 32, 16),
         ("leafcnn_b128",
-         lambda: build_leafcnn(num_classes=8, scale="base",
-                               dtype=jnp.bfloat16), 128, 16),
+         lambda **kw: build_leafcnn(num_classes=8, scale="base",
+                                    dtype=jnp.bfloat16, **kw), 128, 16),
         ("resnet18_b128",
-         lambda: build_resnet(num_classes=8, preset="resnet18",
-                              dtype=jnp.bfloat16), 128, 16),
+         lambda **kw: build_resnet(num_classes=8, preset="resnet18",
+                                   dtype=jnp.bfloat16), 128, 16),
         ("resnet18_s2d_b128",
-         lambda: build_resnet(num_classes=8, preset="resnet18", stem="s2d",
-                              dtype=jnp.bfloat16), 128, 16),
+         lambda **kw: build_resnet(num_classes=8, preset="resnet18",
+                                   stem="s2d", dtype=jnp.bfloat16), 128, 16),
         # engineering datapoint for the b32 wall (72% of the b32 step is
         # stage-1 work at 224² — xplane breakdown in docs/performance.md):
         # the opt-in s2d stem (--stem s2d) quarters stage-1 area
         ("leafcnn_s2d_b32",
-         lambda: build_leafcnn(num_classes=8, scale="base", stem="s2d",
-                               dtype=jnp.bfloat16), 32, 16),
+         lambda **kw: build_leafcnn(num_classes=8, scale="base", stem="s2d",
+                                    dtype=jnp.bfloat16, **kw), 32, 16),
     )
     for tag, make_model, batch, chain in configs:
         try:
             model = make_model()
             fns = build_step_fns(model, cfg, 8, total_steps=1000, mesh=mesh)
             state = create_train_state(model, cfg, img_size=IMG, seed=0)
+            # MFU counts USEFUL model FLOPs: the lane-folded layout's
+            # block-diagonal convs execute 4x zero MACs that XLA's cost
+            # analysis counts as work, so the cost model is traced from
+            # the plain (lane_fold=False) layout — identical math — while
+            # the TIMED step is the production (folded) one.
+            flops_fns, flops_state = fns, state
+            if "leafcnn" in tag:
+                model_plain = make_model(lane_fold=False)
+                flops_fns = build_step_fns(model_plain, cfg, 8,
+                                           total_steps=1000, mesh=mesh)
+                flops_state = create_train_state(model_plain, cfg,
+                                                 img_size=IMG, seed=0)
 
             @jax.jit
             def gen_batches(chain=chain, batch=batch):
@@ -479,8 +491,8 @@ def bench_train_mfu() -> dict:
             # single-step programs report identical flops), so the chained
             # program's count IS the per-step count — but take it from the
             # un-chained step to make that invariant explicit.
-            flops_step = compiled_flops(fns.train_step, state, imgs[0],
-                                        labels[0], mask[0], key)
+            flops_step = compiled_flops(flops_fns.train_step, flops_state,
+                                        imgs[0], labels[0], mask[0], key)
             # warm (compile is persistently cached across rounds)
             state, metrics = fns.train_step_chain(state, imgs, labels, mask,
                                                   key)

@@ -83,9 +83,9 @@ def _packed_moments(x: Array) -> tuple[Array, Array]:
     return s1, s2
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def bn_train(x: Array, scale: Array, bias: Array,
-             eps: float) -> tuple[Array, Array, Array]:
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def bn_train(x: Array, scale: Array, bias: Array, eps: float,
+             fold: int = 1) -> tuple[Array, Array, Array]:
     """Batch-norm forward (training stats) → (y, mean, var).
 
     y is in x.dtype; mean/var are f32[C] batch statistics for the
@@ -93,56 +93,73 @@ def bn_train(x: Array, scale: Array, bias: Array,
     (x, scale, bias) with the full through-the-statistics BN backward;
     mean/var cotangents are treated as zero (they only feed the
     non-differentiated `batch_stats` state update).
+
+    ``fold`` supports the lane-folded batch layout
+    (`models/folded.py`): x's minor dim holds ``fold`` batch images'
+    channels side by side (physical lanes = fold·C); statistics are
+    reduced per TRUE channel (scale/bias/mean/var stay f32[C]) across
+    the fold groups, exactly matching the plain layout's math.
     """
-    y, mean, var, _ = _bn_train_fwd_math(x, scale, bias, eps)
+    y, mean, var, _ = _bn_train_fwd_math(x, scale, bias, eps, fold)
     return y, mean, var
 
 
-def _bn_train_fwd_math(x, scale, bias, eps):
-    n, h, w, c = x.shape
-    m = float(n * h * w)
+def _bn_train_fwd_math(x, scale, bias, eps, fold):
+    n, h, w, _ = x.shape
+    c = x.shape[-1] // fold
+    m = float(n * h * w * fold)
     s1, s2 = _packed_moments(x)
+    if fold > 1:
+        s1 = s1.reshape(-1, c).sum(axis=0)
+        s2 = s2.reshape(-1, c).sum(axis=0)
     mean = s1 / m
     var = jnp.maximum(s2 / m - mean * mean, 0.0)
     inv = lax.rsqrt(var + eps)
     sf = scale.astype(jnp.float32)
     mul = inv * sf
-    y = ((x.astype(jnp.float32) - mean) * mul
-         + bias.astype(jnp.float32)).astype(x.dtype)
+    mean_f = jnp.tile(mean, fold) if fold > 1 else mean
+    mul_f = jnp.tile(mul, fold) if fold > 1 else mul
+    bias_f = (jnp.tile(bias.astype(jnp.float32), fold)
+              if fold > 1 else bias.astype(jnp.float32))
+    y = ((x.astype(jnp.float32) - mean_f) * mul_f + bias_f).astype(x.dtype)
     return y, mean, var, (x, mean, inv, sf)
 
 
-def _bn_train_fwd(x, scale, bias, eps):
-    y, mean, var, res = _bn_train_fwd_math(x, scale, bias, eps)
+def _bn_train_fwd(x, scale, bias, eps, fold):
+    y, mean, var, res = _bn_train_fwd_math(x, scale, bias, eps, fold)
     return (y, mean, var), res
 
 
-def _bn_train_bwd(eps, res, cts):
+def _bn_train_bwd(eps, fold, res, cts):
     dy = cts[0]  # mean/var cotangents are zero by contract (see bn_train)
     x, mean, inv, sf = res
-    n, h, w, c = x.shape
-    m = float(n * h * w)
-    p = _pack_factor(w, c)
+    n, h, w, cp = x.shape
+    c = cp // fold
+    m = float(n * h * w * fold)
+    p = _pack_factor(w, cp)
 
     # pass 1: dβ = Σ dy, dγ = Σ dy·x̂ — joint full-lane reduce reading
     # dy and x once; x̂ reconstructed in f32 inside the pass (exactly
     # flax-autodiff's value: x, mean, inv are the same f32 quantities).
-    dyr = dy.reshape(n, h, w // p, p * c).astype(jnp.float32)
-    xr = x.reshape(n, h, w // p, p * c).astype(jnp.float32)
-    mean_t = jnp.tile(mean, p)
-    inv_t = jnp.tile(inv, p)
+    dyr = dy.reshape(n, h, w // p, p * cp).astype(jnp.float32)
+    xr = x.reshape(n, h, w // p, p * cp).astype(jnp.float32)
+    mean_t = jnp.tile(mean, p * fold)
+    inv_t = jnp.tile(inv, p * fold)
     xhat_r = (xr - mean_t) * inv_t
     db = jnp.sum(dyr, axis=(0, 1, 2))
     dg = jnp.sum(dyr * xhat_r, axis=(0, 1, 2))
-    if p > 1:
-        db = db.reshape(p, c).sum(axis=0)
-        dg = dg.reshape(p, c).sum(axis=0)
+    if p * fold > 1:
+        db = db.reshape(p * fold, c).sum(axis=0)
+        dg = dg.reshape(p * fold, c).sum(axis=0)
 
     # pass 2: dx = γ·inv · (dy − dβ/M − x̂·dγ/M)
-    t_b = db / m
-    t_g = dg / m
-    xhat = (x.astype(jnp.float32) - mean) * inv
-    dx = ((sf * inv) * (dy.astype(jnp.float32) - t_b - xhat * t_g)
+    t_b = jnp.tile(db / m, fold) if fold > 1 else db / m
+    t_g = jnp.tile(dg / m, fold) if fold > 1 else dg / m
+    mean_f = jnp.tile(mean, fold) if fold > 1 else mean
+    inv_f = jnp.tile(inv, fold) if fold > 1 else inv
+    sfi_f = (jnp.tile(sf * inv, fold) if fold > 1 else sf * inv)
+    xhat = (x.astype(jnp.float32) - mean_f) * inv_f
+    dx = (sfi_f * (dy.astype(jnp.float32) - t_b - xhat * t_g)
           ).astype(x.dtype)
     return dx, dg.astype(jnp.float32), db.astype(jnp.float32)
 
@@ -170,10 +187,11 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array,
-                 use_running_average: Optional[bool] = None) -> Array:
+                 use_running_average: Optional[bool] = None,
+                 fold: int = 1) -> Array:
         ura = nn.merge_param("use_running_average",
                              self.use_running_average, use_running_average)
-        c = x.shape[-1]
+        c = x.shape[-1] // fold
         scale = self.param("scale", self.scale_init, (c,), self.param_dtype)
         bias = self.param("bias", self.bias_init, (c,), self.param_dtype)
         ra_mean = self.variable("batch_stats", "mean",
@@ -186,21 +204,28 @@ class BatchNorm(nn.Module):
         if ura:
             mean, var = ra_mean.value, ra_var.value
             mul = lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
-            y = ((x.astype(jnp.float32) - mean) * mul
-                 + bias.astype(jnp.float32))
+            bf = bias.astype(jnp.float32)
+            if fold > 1:
+                mean, mul, bf = (jnp.tile(mean, fold), jnp.tile(mul, fold),
+                                 jnp.tile(bf, fold))
+            y = (x.astype(jnp.float32) - mean) * mul + bf
             return y.astype(out_dtype)
 
         if x.ndim == 4 and os.environ.get("LEAF_FUSED_BN", "1") != "0":
-            y, mean, var = bn_train(x, scale, bias, self.epsilon)
+            y, mean, var = bn_train(x, scale, bias, self.epsilon, fold)
         else:
             # reference math, plain autodiff (debug escape hatch; also
             # the path for non-NHWC ranks)
             red = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)
+            if fold > 1:
+                xf = xf.reshape(x.shape[:-1] + (fold, c))
+                red = tuple(range(x.ndim - 1)) + (x.ndim - 1,)
             mean = jnp.mean(xf, axis=red)
             var = jnp.maximum(jnp.mean(xf * xf, axis=red) - mean * mean, 0.0)
             mul = lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
-            y = ((xf - mean) * mul + bias.astype(jnp.float32)).astype(x.dtype)
+            y = ((xf - mean) * mul + bias.astype(jnp.float32)
+                 ).reshape(x.shape).astype(x.dtype)
 
         if not self.is_initializing():
             ra_mean.value = (self.momentum * ra_mean.value

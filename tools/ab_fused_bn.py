@@ -26,6 +26,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from leaffliction_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # remote compiles are 0.5s-7min uncached
+
     from leaffliction_tpu.models.leafcnn import build_leafcnn
     from leaffliction_tpu.models.resnet import build_resnet
     from leaffliction_tpu.parallel.mesh import MeshSpec, make_mesh
@@ -44,11 +48,11 @@ def main() -> None:
 
     configs = (
         ("leafcnn_b32",
-         lambda: build_leafcnn(num_classes=8, scale="base",
-                               dtype=jnp.bfloat16), 32, 16),
+         lambda **kw: build_leafcnn(num_classes=8, scale="base",
+                                    dtype=jnp.bfloat16, **kw), 32, 16),
         ("resnet18_b128",
-         lambda: build_resnet(num_classes=8, preset="resnet18",
-                              dtype=jnp.bfloat16), 128, 16),
+         lambda **kw: build_resnet(num_classes=8, preset="resnet18",
+                                   dtype=jnp.bfloat16), 128, 16),
     )
     only = sys.argv[1] if len(sys.argv) > 1 else None
     for tag, make_model, batch, chain in configs:
@@ -57,6 +61,16 @@ def main() -> None:
         model = make_model()
         fns = build_step_fns(model, cfg, 8, total_steps=1000, mesh=mesh)
         state = create_train_state(model, cfg, img_size=IMG, seed=0)
+        # useful-FLOPs cost model from the plain layout (bench.py rationale:
+        # the folded layout's block-diagonal convs execute zero MACs that
+        # cost_analysis counts as work)
+        flops_fns, flops_state = fns, state
+        if "leafcnn" in tag:
+            model_plain = make_model(lane_fold=False)
+            flops_fns = build_step_fns(model_plain, cfg, 8,
+                                       total_steps=1000, mesh=mesh)
+            flops_state = create_train_state(model_plain, cfg,
+                                             img_size=IMG, seed=0)
 
         @jax.jit
         def gen(chain=chain, batch=batch):
@@ -69,8 +83,8 @@ def main() -> None:
 
         imgs, labels, mask = gen()
         key = jax.random.key(1)
-        flops_step = compiled_flops(fns.train_step, state, imgs[0],
-                                    labels[0], mask[0], key)
+        flops_step = compiled_flops(flops_fns.train_step, flops_state,
+                                    imgs[0], labels[0], mask[0], key)
         state, metrics = fns.train_step_chain(state, imgs, labels, mask, key)
         assert np.isfinite(float(jnp.sum(metrics["loss"])))
         reps = 3
