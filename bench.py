@@ -446,10 +446,11 @@ def bench_train_mfu() -> dict:
                                     dtype=jnp.bfloat16, **kw), 128, 16),
         ("resnet18_b128",
          lambda **kw: build_resnet(num_classes=8, preset="resnet18",
-                                   dtype=jnp.bfloat16), 128, 16),
+                                   dtype=jnp.bfloat16, **kw), 128, 16),
         ("resnet18_s2d_b128",
          lambda **kw: build_resnet(num_classes=8, preset="resnet18",
-                                   stem="s2d", dtype=jnp.bfloat16), 128, 16),
+                                   stem="s2d", dtype=jnp.bfloat16,
+                                   **kw), 128, 16),
         # engineering datapoint for the b32 wall (72% of the b32 step is
         # stage-1 work at 224² — xplane breakdown in docs/performance.md):
         # the opt-in s2d stem (--stem s2d) quarters stage-1 area
@@ -467,13 +468,11 @@ def bench_train_mfu() -> dict:
             # analysis counts as work, so the cost model is traced from
             # the plain (lane_fold=False) layout — identical math — while
             # the TIMED step is the production (folded) one.
-            flops_fns, flops_state = fns, state
-            if "leafcnn" in tag:
-                model_plain = make_model(lane_fold=False)
-                flops_fns = build_step_fns(model_plain, cfg, 8,
-                                           total_steps=1000, mesh=mesh)
-                flops_state = create_train_state(model_plain, cfg,
-                                                 img_size=IMG, seed=0)
+            model_plain = make_model(lane_fold=False)
+            flops_fns = build_step_fns(model_plain, cfg, 8,
+                                       total_steps=1000, mesh=mesh)
+            flops_state = create_train_state(model_plain, cfg,
+                                             img_size=IMG, seed=0)
 
             @jax.jit
             def gen_batches(chain=chain, batch=batch):

@@ -105,6 +105,7 @@ class Conv(nn.Module):
 
     features: int
     kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
     feature_group_count: int = 1
     dtype: Any = None
 
@@ -129,7 +130,7 @@ class Conv(nn.Module):
         dn = lax.conv_dimension_numbers(x.shape, k.shape,
                                         ("NHWC", "HWIO", "NHWC"))
         return lax.conv_general_dilated(
-            x, k, (1, 1), "SAME", dimension_numbers=dn,
+            x, k, tuple(self.strides), "SAME", dimension_numbers=dn,
             feature_group_count=fgc)
 
 

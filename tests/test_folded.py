@@ -182,6 +182,57 @@ def test_leafcnn_folded_grads_match_plain():
             err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.parametrize("strides", [(1, 1), (2, 2)])
+def test_folded_strided_conv_matches_plain(strides):
+    g, n, h, w, cin, cout = 2, 8, 8, 8, 8, 16
+    x = jax.random.normal(jax.random.key(11), (n, h, w, cin), jnp.float32)
+    conv = folded.Conv(cout, (3, 3), strides=strides)
+    v = conv.init(jax.random.key(12), x)
+    y_plain = conv.apply(v, x)
+    y_fold = folded.unfold(conv.apply(v, folded.fold(x, g), fold=g), g)
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_plain),
+                               rtol=1e-6, atol=1e-6)
+    # strided SAME semantics match flax nn.Conv
+    ref = nn.Conv(cout, (3, 3), strides=strides, padding="SAME",
+                  use_bias=False)
+    np.testing.assert_allclose(np.asarray(y_plain),
+                               np.asarray(ref.apply(v, x)),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("stem", ["conv", "s2d"])
+def test_resnet_folded_matches_plain(stem):
+    from leaffliction_tpu.models.resnet import build_resnet
+
+    x = jax.random.uniform(jax.random.key(13), (16, 64, 64, 3), jnp.float32)
+    m_fold = build_resnet(num_classes=8, preset="resnet10", stem=stem,
+                          lane_fold=True, dtype=jnp.float32)
+    m_plain = build_resnet(num_classes=8, preset="resnet10", stem=stem,
+                           lane_fold=False, dtype=jnp.float32)
+    vf = m_fold.init(jax.random.key(0), x, train=False)
+    vp = m_plain.init(jax.random.key(0), x, train=False)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, vf)
+            == jax.tree_util.tree_map(lambda a: a.shape, vp))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)), vf, vp)
+    yf = m_fold.apply(vp, x, train=False)
+    yp = m_plain.apply(vp, x, train=False)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yp),
+                               rtol=1e-4, atol=1e-4)
+    # train path: stats + logits agree
+    rngs = {"dropout": jax.random.key(2)}
+    yf, sf = m_fold.apply(vp, x, train=True, rngs=rngs,
+                          mutable=["batch_stats"])
+    yp, sp = m_plain.apply(vp, x, train=True, rngs=rngs,
+                           mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yp),
+                               rtol=1e-4, atol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5), sf, sp)
+
+
 def test_lane_fold_env_kill_switch(monkeypatch):
     x = jax.random.uniform(jax.random.key(5), (16, 32, 32, 3), jnp.float32)
     m_fold, m_plain = _leafcnn_pair()

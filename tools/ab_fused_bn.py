@@ -52,7 +52,7 @@ def main() -> None:
                                     dtype=jnp.bfloat16, **kw), 32, 16),
         ("resnet18_b128",
          lambda **kw: build_resnet(num_classes=8, preset="resnet18",
-                                   dtype=jnp.bfloat16), 128, 16),
+                                   dtype=jnp.bfloat16, **kw), 128, 16),
     )
     only = sys.argv[1] if len(sys.argv) > 1 else None
     for tag, make_model, batch, chain in configs:
@@ -64,13 +64,11 @@ def main() -> None:
         # useful-FLOPs cost model from the plain layout (bench.py rationale:
         # the folded layout's block-diagonal convs execute zero MACs that
         # cost_analysis counts as work)
-        flops_fns, flops_state = fns, state
-        if "leafcnn" in tag:
-            model_plain = make_model(lane_fold=False)
-            flops_fns = build_step_fns(model_plain, cfg, 8,
-                                       total_steps=1000, mesh=mesh)
-            flops_state = create_train_state(model_plain, cfg,
-                                             img_size=IMG, seed=0)
+        model_plain = make_model(lane_fold=False)
+        flops_fns = build_step_fns(model_plain, cfg, 8,
+                                   total_steps=1000, mesh=mesh)
+        flops_state = create_train_state(model_plain, cfg,
+                                         img_size=IMG, seed=0)
 
         @jax.jit
         def gen(chain=chain, batch=batch):
