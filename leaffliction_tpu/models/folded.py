@@ -40,6 +40,7 @@ kernel init replicates `nn.Conv`'s lecun_normal on the same shapes.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -51,11 +52,25 @@ Array = jax.Array
 
 
 def auto_fold(n: int, width: int) -> int:
-    """Largest power-of-2 G with G·width ≤ 128, G | N and N/G ≥ 8.
+    """Largest power-of-2 G with G·width ≤ 128, G | N and N/G ≥ 8 —
+    but only for batches where folding measures FASTER.
 
     The N/G ≥ 8 floor keeps the folded leading dim large enough that a
     batch-sharded mesh run (dp ≤ 8) still folds locally on each device
-    (per-device batch stays divisible by G)."""
+    (per-device batch stays divisible by G).
+
+    The batch cap (default 32, `LEAF_LANE_FOLD_MAX_BATCH`): the
+    block-diagonal conv executes G× the useful MACs. At small batch the
+    conv emitter is per-row-bound and the zero MACs ride for free
+    (b32 @224: 2.11× whole-step, `docs/performance.md`); at large batch
+    the convs are MXU-throughput-bound and the zero MACs cost real time
+    (b128 @224 measured 62.0 vs 47.3 ms/step folded vs plain — a 0.76×
+    REGRESSION, BENCH_r05 vs r04). Multi-chip note: this sees the
+    GLOBAL batch under pjit — a dp-sharded run whose per-device batch
+    is small can raise the cap via the env knob."""
+    cap = int(os.environ.get("LEAF_LANE_FOLD_MAX_BATCH", "32"))
+    if n > cap:
+        return 1
     g = 1
     while (2 * g * width <= 128 and n % (2 * g) == 0 and n // (2 * g) >= 8):
         g *= 2

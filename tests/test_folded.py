@@ -35,6 +35,17 @@ def test_auto_fold():
     # indivisible batches never fold
     assert folded.auto_fold(30, 32) == 2  # 30 % 2 == 0, 30 % 4 != 0
     assert folded.auto_fold(31, 32) == 1
+    # batch cap: large batches are MXU-throughput-bound — the block-diag
+    # zero MACs cost real time there (b128 regression, BENCH_r05 notes)
+    assert folded.auto_fold(128, 32) == 1
+    assert folded.auto_fold(64, 32) == 1
+
+
+def test_auto_fold_cap_env(monkeypatch):
+    monkeypatch.setenv("LEAF_LANE_FOLD_MAX_BATCH", "128")
+    assert folded.auto_fold(128, 32) == 4
+    monkeypatch.setenv("LEAF_LANE_FOLD_MAX_BATCH", "0")
+    assert folded.auto_fold(16, 32) == 1
 
 
 def test_fold_unfold_roundtrip():

@@ -53,6 +53,9 @@ def main() -> None:
         ("resnet18_b128",
          lambda **kw: build_resnet(num_classes=8, preset="resnet18",
                                    dtype=jnp.bfloat16, **kw), 128, 16),
+        ("resnet18_b32",
+         lambda **kw: build_resnet(num_classes=8, preset="resnet18",
+                                   dtype=jnp.bfloat16, **kw), 32, 16),
     )
     only = sys.argv[1] if len(sys.argv) > 1 else None
     for tag, make_model, batch, chain in configs:
