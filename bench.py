@@ -75,6 +75,7 @@ _COMPACT_KEYS = (
     "serving_decode_img_per_sec", "serving_upload_img_per_sec",
     "serving_infer_img_per_sec",
     "mfu_pct_resnet18_b128", "mfu_pct_resnet18_s2d_b128",
+    "mfu_pct_resnet18_b32",
     "mfu_pct_leafcnn_b32", "mfu_pct_leafcnn_s2d_b32", "mfu_pct_leafcnn_b128",
     "north_star_train_s_b32", "north_star_train_s_b128", "north_star_e2e_s",
     "bandwidth_h2d_mbps", "bandwidth_d2h_mbps", "link_rtt_ms",
@@ -457,6 +458,11 @@ def bench_train_mfu() -> dict:
         ("leafcnn_s2d_b32",
          lambda **kw: build_leafcnn(num_classes=8, scale="base", stem="s2d",
                                     dtype=jnp.bfloat16, **kw), 32, 16),
+        # deep backbone at the reference-default batch: the lane fold's
+        # G=2 stem/stage-1 win (docs/performance.md "The direct fix")
+        ("resnet18_b32",
+         lambda **kw: build_resnet(num_classes=8, preset="resnet18",
+                                   dtype=jnp.bfloat16, **kw), 32, 16),
     )
     for tag, make_model, batch, chain in configs:
         try:
