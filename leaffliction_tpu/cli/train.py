@@ -342,20 +342,6 @@ def main(argv=None) -> None:
                                seed=args.seed, pad_to_steps=pad_to_steps)
     val_iter = BatchIterator(val_store, iter_batch, shuffle=False)
 
-    dtype = jnp.float32 if args.no_mixed_precision else jnp.bfloat16
-    if args.arch == "leafcnn":
-        model = build_leafcnn(
-            num_classes=num_classes, scale=args.scale,
-            separable=args.separable,
-            use_norm=not args.no_normalization, stem=args.stem, dtype=dtype,
-        )
-    else:
-        from leaffliction_tpu.models.resnet import build_resnet
-
-        model = build_resnet(num_classes=num_classes, preset=args.arch,
-                             use_norm=not args.no_normalization,
-                             stem=args.stem, dtype=dtype)
-
     try:
         mesh = make_mesh(MeshSpec(data=args.mesh_data, model=args.mesh_model))
     except ValueError as exc:
@@ -364,6 +350,24 @@ def main(argv=None) -> None:
         return
     LOGGER.info("Mesh: %s over %d %s device(s)", dict(mesh.shape),
                 mesh.size, jax.devices()[0].device_kind)
+
+    dtype = jnp.float32 if args.no_mixed_precision else jnp.bfloat16
+    # the lane-fold decision acts on the PER-DEVICE batch: a dp-sharded
+    # global batch folds on each shard (folded.auto_fold)
+    fold_dp = mesh.shape.get("data", 1)
+    if args.arch == "leafcnn":
+        model = build_leafcnn(
+            num_classes=num_classes, scale=args.scale,
+            separable=args.separable,
+            use_norm=not args.no_normalization, stem=args.stem,
+            fold_dp=fold_dp, dtype=dtype,
+        )
+    else:
+        from leaffliction_tpu.models.resnet import build_resnet
+
+        model = build_resnet(num_classes=num_classes, preset=args.arch,
+                             use_norm=not args.no_normalization,
+                             stem=args.stem, fold_dp=fold_dp, dtype=dtype)
 
     if fused_dd is not None and mesh.size > 1:
         from leaffliction_tpu.parallel.mesh import replicate_global

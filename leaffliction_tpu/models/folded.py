@@ -51,7 +51,7 @@ from jax import lax, random
 Array = jax.Array
 
 
-def auto_fold(n: int, width: int) -> int:
+def auto_fold(n: int, width: int, dp: int = 1) -> int:
     """Largest power-of-2 G with G·width ≤ 128, G | N and N/G ≥ 8 —
     but only for batches where folding measures FASTER.
 
@@ -65,10 +65,21 @@ def auto_fold(n: int, width: int) -> int:
     (b32 @224: 2.11× whole-step, `docs/performance.md`); at large batch
     the convs are MXU-throughput-bound and the zero MACs cost real time
     (b128 @224 measured 62.0 vs 47.3 ms/step folded vs plain — a 0.76×
-    REGRESSION, BENCH_r05 vs r04). Multi-chip note: this sees the
-    GLOBAL batch under pjit — a dp-sharded run whose per-device batch
-    is small can raise the cap via the env knob."""
+    REGRESSION, BENCH_r05 vs r04).
+
+    `dp` is the data-parallel shard count of the batch dim. Under pjit
+    the trace sees the GLOBAL batch, but both the cap and the floor are
+    per-DEVICE properties (the conv emitter and the tile padding act on
+    each shard's local array), so the decision runs on n/dp — e.g. a
+    global b256 over dp=8 is per-device b32, exactly the shape where
+    folding wins 2.11×. Each folded row packs G consecutive images,
+    which block sharding keeps on one device, so the fold stays a local
+    reshape (no collectives; `test_folded_dp_sharded_matches_plain`).
+    A batch not divisible by dp falls back to the global-batch decision.
+    `LEAF_LANE_FOLD_MAX_BATCH` still overrides the (per-device) cap."""
     cap = int(os.environ.get("LEAF_LANE_FOLD_MAX_BATCH", "32"))
+    if dp > 1 and n % dp == 0:
+        n = n // dp  # per-device batch: cap and floor act shard-locally
     if n > cap:
         return 1
     g = 1

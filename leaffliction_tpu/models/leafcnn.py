@@ -148,6 +148,9 @@ class LeafCNN(nn.Module):
     use_norm: bool = True
     stem: str = "conv"
     lane_fold: bool = True
+    # data-parallel shard count of the batch dim: the fold decision acts
+    # on the per-device batch (auto_fold docstring)
+    fold_dp: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -170,7 +173,8 @@ class LeafCNN(nn.Module):
         n = x.shape[0]
 
         def stage_fold(width: int) -> int:
-            return folded.auto_fold(n, width) if use_fold else 1
+            return (folded.auto_fold(n, width, dp=self.fold_dp)
+                    if use_fold else 1)
 
         g = stage_fold(self.widths[0])
         x = folded.fold(x, g)
@@ -206,6 +210,7 @@ def build_leafcnn(
     use_norm: bool = True,
     stem: str = "conv",
     lane_fold: bool = True,
+    fold_dp: int = 1,
     dtype: Any = jnp.float32,
 ) -> LeafCNN:
     preset = SCALE_PRESETS[scale]
@@ -218,6 +223,7 @@ def build_leafcnn(
         use_norm=use_norm,
         stem=stem,
         lane_fold=lane_fold,
+        fold_dp=fold_dp,
         dtype=dtype,
     )
 

@@ -91,6 +91,8 @@ class LeafResNet(nn.Module):
     drop_top: float = 0.2
     stem: str = "conv"
     lane_fold: bool = True
+    # data-parallel shard count of the batch dim (see folded.auto_fold)
+    fold_dp: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -108,7 +110,8 @@ class LeafResNet(nn.Module):
         n = x.shape[0]
 
         def stage_fold(width: int) -> int:
-            return folded.auto_fold(n, width) if use_fold else 1
+            return (folded.auto_fold(n, width, dp=self.fold_dp)
+                    if use_fold else 1)
 
         g = stage_fold(self.widths[0])
         if self.stem == "s2d":
@@ -157,11 +160,12 @@ def build_resnet(
     use_norm: bool = True,
     stem: str = "conv",
     lane_fold: bool = True,
+    fold_dp: int = 1,
     dtype: Any = jnp.bfloat16,
 ) -> LeafResNet:
     spec = RESNET_PRESETS[preset]
     return LeafResNet(
         num_classes=num_classes, blocks=tuple(spec["blocks"]),
         widths=tuple(spec["widths"]), use_norm=use_norm, stem=stem,
-        lane_fold=lane_fold, dtype=dtype,
+        lane_fold=lane_fold, fold_dp=fold_dp, dtype=dtype,
     )

@@ -252,3 +252,67 @@ def test_lane_fold_env_kill_switch(monkeypatch):
     y_off = m_fold.apply(v, x, train=False)
     y_plain = m_plain.apply(v, x, train=False)
     np.testing.assert_array_equal(np.asarray(y_off), np.asarray(y_plain))
+
+
+def test_auto_fold_dp_aware():
+    """The fold decision acts on the PER-DEVICE batch under dp sharding.
+
+    A global b256 over dp=8 is per-device b32 — the reference-default
+    shape where folding wins 2.11× — and must fold without the
+    LEAF_LANE_FOLD_MAX_BATCH escape hatch."""
+    assert folded.auto_fold(256, 32, dp=8) == 4
+    assert folded.auto_fold(256, 64, dp=8) == 2
+    assert folded.auto_fold(256, 128, dp=8) == 1
+    # dp=1 (single chip) unchanged: b256 is over the cap
+    assert folded.auto_fold(256, 32) == 1
+    # per-device batch above the cap still refuses (1024/8 = 128 > 32)
+    assert folded.auto_fold(1024, 32, dp=8) == 1
+    # batch not divisible by dp: global-batch decision (no fold here)
+    assert folded.auto_fold(100, 32, dp=8) == 1
+    # divisibility acts per device: 64/4=16 → G=2 at width 32
+    assert folded.auto_fold(64, 32, dp=4) == 2
+
+
+def test_folded_dp_sharded_matches_plain():
+    """fold_dp model under a real dp-sharded mesh == plain model.
+
+    Pins two claims from folded.auto_fold's docstring: the fold is a
+    shard-local reshape (G consecutive images stay on one device), and a
+    dp-sharded global batch above the single-chip cap still folds."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 devices (conftest forces 8 virtual CPU)")
+    mesh = Mesh(np.asarray(devs[:8]).reshape(8), ("data",))
+    n = 128  # per-device 16 → G=2 at tiny widths; unfolded at dp=1
+    x = jax.random.uniform(jax.random.key(5), (n, 24, 24, 3), jnp.float32)
+    m_fold = build_leafcnn(num_classes=8, scale="tiny", fold_dp=8)
+    m_plain = build_leafcnn(num_classes=8, scale="tiny", lane_fold=False)
+    v = m_plain.init(jax.random.key(0), x[:16], train=False)
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    vs = jax.device_put(v, NamedSharding(mesh, P()))
+    yf = jax.jit(lambda v_, x_: m_fold.apply(v_, x_, train=False))(vs, xs)
+    yp = m_plain.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yp),
+                               rtol=1e-4, atol=1e-4)
+
+    # train mode across the mesh: the fold-aware BN batch statistics
+    # reduce over the SHARDED batch dim (XLA inserts the psum) and the
+    # dropout masks are drawn in the plain shape — both must reproduce
+    # the unsharded plain model exactly (within f32 reassociation)
+    def train_apply(model):
+        def f(v_, x_):
+            return model.apply(v_, x_, train=True,
+                               rngs={"dropout": jax.random.key(7)},
+                               mutable=["batch_stats"])
+        return f
+
+    yf, sf = jax.jit(train_apply(m_fold))(vs, xs)
+    yp, sp = train_apply(m_plain)(v, x)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yp),
+                               rtol=1e-4, atol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5), sf, sp)
