@@ -68,22 +68,26 @@ def auto_fold(n: int, width: int, dp: int = 1) -> int:
     REGRESSION, BENCH_r05 vs r04).
 
     `dp` is the data-parallel shard count of the batch dim. Under pjit
-    the trace sees the GLOBAL batch, but both the cap and the floor are
-    per-DEVICE properties (the conv emitter and the tile padding act on
-    each shard's local array), so the decision runs on n/dp — e.g. a
-    global b256 over dp=8 is per-device b32, exactly the shape where
-    folding wins 2.11×. Each folded row packs G consecutive images,
-    which block sharding keeps on one device, so the fold stays a local
-    reshape (no collectives; `test_folded_dp_sharded_matches_plain`).
-    A batch not divisible by dp falls back to the global-batch decision.
-    `LEAF_LANE_FOLD_MAX_BATCH` still overrides the (per-device) cap."""
+    the trace sees the GLOBAL batch, but the cap is a per-DEVICE
+    property (MXU saturation happens on each shard's local convs), so
+    it applies to n/dp — e.g. a global b256 over dp=8 is per-device
+    b32, exactly the shape where folding wins 2.11×. Divisibility must
+    hold per device too (G | n/dp): each folded row packs G consecutive
+    images, and block sharding keeps those on one device, so the fold
+    stays a local reshape (no collectives;
+    `test_folded_dp_sharded_matches_plain`). The N/G ≥ 8 row floor
+    stays GLOBAL — it bounds program-level row count, and shrinking it
+    per-device would UN-fold small-global-batch mesh runs (b32 over
+    dp=8 folded G=4 before dp-awareness and still must). A batch not
+    divisible by dp cannot be dp-sharded at all, so it falls back to
+    the global-batch decision. `LEAF_LANE_FOLD_MAX_BATCH` still
+    overrides the (per-device) cap."""
     cap = int(os.environ.get("LEAF_LANE_FOLD_MAX_BATCH", "32"))
-    if dp > 1 and n % dp == 0:
-        n = n // dp  # per-device batch: cap and floor act shard-locally
-    if n > cap:
+    p = n // dp if (dp > 1 and n % dp == 0) else n  # per-device batch
+    if p > cap:
         return 1
     g = 1
-    while (2 * g * width <= 128 and n % (2 * g) == 0 and n // (2 * g) >= 8):
+    while (2 * g * width <= 128 and p % (2 * g) == 0 and n // (2 * g) >= 8):
         g *= 2
     return g
 
